@@ -1,0 +1,135 @@
+"""GraphSAGE for TPU: functional layers over the ELL graph container.
+
+Re-implements the semantics of the reference's GraphSage stack
+(`model/networks.py:20-36`), whose math lives inside DGL's SAGEConv
+(imported at `model/networks.py:7`). Aggregator formulas (DGL >= 0.8):
+
+  mean: out_v = W_self h_v + W_neigh mean_{u in N(v)} h_u
+  gcn:  out_v = W_neigh (sum_{u in N(v)} h_u + h_v) / (deg_in(v) + 1)   [no W_self]
+  pool: out_v = W_self h_v + W_neigh max_{u in N(v)} relu(W_pool h_u + b_pool)
+
+followed by a bias and optional activation; feature dropout is applied to the layer
+input (`feat_drop`). Nodes with no in-edges aggregate to zero. All ops are dense
+batched matmuls (MXU) plus a masked neighbor gather-reduce (ops/aggregate.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.aggregate import aggregate_neighbors
+from ..ops.graph import GraphBatch
+from .initializers import xavier_uniform
+
+__all__ = ["sage_conv_init", "sage_conv_apply", "GraphSage"]
+
+AGGREGATORS = ("mean", "gcn", "pool")
+
+
+def sage_conv_init(key, in_feats: int, out_feats: int, aggregator: str) -> dict:
+    assert aggregator in AGGREGATORS, aggregator
+    keys = jax.random.split(key, 4)
+    params = {"bias": jnp.zeros((out_feats,))}
+    params["w_neigh"] = xavier_uniform(keys[0], (in_feats, out_feats))
+    if aggregator != "gcn":
+        params["w_self"] = xavier_uniform(keys[1], (in_feats, out_feats))
+    if aggregator == "pool":
+        params["w_pool"] = xavier_uniform(keys[2], (in_feats, in_feats))
+        params["b_pool"] = jnp.zeros((in_feats,))
+    return params
+
+
+def _dropout(h, rate, rng):
+    if rate <= 0.0 or rng is None:
+        return h
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, h.shape)
+    return jnp.where(mask, h / keep, 0.0)
+
+
+def sage_conv_apply(
+    params: dict,
+    graph: GraphBatch,
+    h: jax.Array,
+    aggregator: str,
+    activation=None,
+    feat_drop: float = 0.0,
+    rng=None,
+    impl: str | None = None,
+) -> jax.Array:
+    """One SAGEConv layer. h: [B, N, F_in] -> [B, N, F_out]."""
+    h = _dropout(h, feat_drop, rng)
+    if aggregator == "mean":
+        h_n = aggregate_neighbors(h, graph.nbr, graph.nbr_mask, "mean", impl=impl)
+        out = h @ params["w_self"] + h_n @ params["w_neigh"]
+    elif aggregator == "gcn":
+        s = aggregate_neighbors(h, graph.nbr, graph.nbr_mask, "sum", impl=impl)
+        deg = jnp.sum(graph.nbr_mask, axis=-1, keepdims=True)  # [B, N, 1]
+        h_n = (s + h) / (deg + 1.0)
+        out = h_n @ params["w_neigh"]
+    elif aggregator == "pool":
+        p = jax.nn.relu(h @ params["w_pool"] + params["b_pool"])
+        mx = aggregate_neighbors(p, graph.nbr, graph.nbr_mask, "max", impl=impl)
+        out = h @ params["w_self"] + mx @ params["w_neigh"]
+    else:
+        raise ValueError(f"unknown aggregator {aggregator!r}")
+    out = out + params["bias"]
+    if activation is not None:
+        out = activation(out)
+    return out
+
+
+class GraphSage:
+    """Input + hidden + output SAGEConv stack (`model/networks.py:20-36`):
+
+    layer_sizes gives the widths of the input layer output and hidden layers; one
+    extra output layer maps to n_classes. ReLU + feature dropout on all layers
+    except the last (no activation / no dropout there).
+    """
+
+    def __init__(
+        self,
+        in_feats: int,
+        layer_sizes: Sequence[int],
+        n_classes: int,
+        aggregator: str,
+        dropout: float = 0.0,
+    ):
+        assert aggregator in AGGREGATORS, aggregator
+        self.aggregator = aggregator
+        self.dropout = float(dropout)
+        self.dims = [in_feats, *layer_sizes, n_classes]
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.dims) - 1
+
+    def init(self, key) -> list[dict]:
+        keys = jax.random.split(key, self.num_layers)
+        return [
+            sage_conv_init(k, self.dims[i], self.dims[i + 1], self.aggregator)
+            for i, k in enumerate(keys)
+        ]
+
+    def apply(self, params, graph: GraphBatch, h=None, train: bool = False,
+              rng=None, impl: str | None = None) -> jax.Array:
+        """Forward pass -> logits [B, N, n_classes]."""
+        if h is None:
+            h = graph.feats
+        n = self.num_layers
+        rngs = [None] * n
+        if train and self.dropout > 0.0 and rng is not None:
+            rngs = list(jax.random.split(rng, n))
+        for i, lp in enumerate(params):
+            last = i == n - 1
+            h = sage_conv_apply(
+                lp, graph, h, self.aggregator,
+                activation=None if last else jax.nn.relu,
+                feat_drop=0.0 if (last or not train) else self.dropout,
+                rng=None if last else rngs[i],
+                impl=impl,
+            )
+        return h

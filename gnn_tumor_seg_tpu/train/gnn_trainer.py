@@ -1,0 +1,181 @@
+"""GNN training/eval engine — the TPU counterpart of `model/gnn_model.py`.
+
+Differences by design, not accident:
+  - the whole train step (forward, weighted CE, backward, AdamW update, LR decay)
+    is one jitted function with donated state; no per-batch H2D hops beyond the
+    input graphs (the reference re-parses JSON + rebuilds DGL graphs every epoch,
+    `data_processing/data_loader.py:67-83` — here graphs arrive as padded arrays);
+  - minibatches are stacks over a batch axis with dataset-wide bucket shapes, so
+    the step compiles exactly once (+ once for a padded remainder batch);
+  - short batches are padded with masked-out copies (zero node_mask, labels -1)
+    that contribute nothing to the weighted-mean loss.
+
+Metric vector matches the reference exactly: loss; WT/CT/ET node Dice; WT/CT/ET
+voxel Dice; WT/CT/ET HD95; plus predicted/true node-label counts
+(`model/gnn_model.py:51-74`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import evaluation
+from ..config import HyperParams
+from ..data.image import project_nodes_to_img
+from ..models.factory import init_graph_net
+from ..ops.graph import GraphBatch, batch_graphs, bucket_size, NODE_BUCKETS, DEGREE_BUCKETS
+from .checkpoint import save_checkpoint
+from .losses import weighted_cross_entropy
+from .optim import make_train_state, apply_updates
+
+__all__ = ["GNNTrainer"]
+
+
+def _masked_copy(g: GraphBatch) -> GraphBatch:
+    """A padding graph contributing nothing to the loss."""
+    return g.replace(
+        node_mask=jnp.zeros_like(g.node_mask),
+        nbr_mask=jnp.zeros_like(g.nbr_mask),
+        labels=None if g.labels is None else jnp.full_like(g.labels, -1),
+        n_nodes=jnp.zeros_like(g.n_nodes),
+    )
+
+
+class GNNTrainer:
+    def __init__(self, model_type: str, hp: HyperParams, train_data=None,
+                 seed: int = 0):
+        self.model_type = model_type
+        self.hp = hp
+        self.model = init_graph_net(model_type, hp)
+        self.rng = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        self.params = self.model.init(key)
+        self.state, self._tx = make_train_state(
+            self.params, hp.lr, hp.lr_decay, hp.w_decay
+        )
+        self.class_weights = jnp.asarray(hp.class_weights, jnp.float32)
+        self.train_data = train_data
+        self._dropout_key = jax.random.PRNGKey(seed + 1)
+        self._shape_budget = None
+        if train_data is not None:
+            self._shape_budget = self._compute_shape_budget(train_data)
+        self._step = self._build_step()
+        self._forward = jax.jit(
+            lambda params, graph: self.model.apply(params, graph, train=False)
+        )
+
+    # ---------------------------------------------------------------- shapes
+    def _compute_shape_budget(self, data) -> tuple[int, int]:
+        if hasattr(data, "shape_budget"):
+            n, d = data.shape_budget()
+            return bucket_size(n, NODE_BUCKETS), bucket_size(d, DEGREE_BUCKETS)
+        n_max = d_max = 1
+        for i in range(len(data)):
+            g = data.get_graph(i)
+            n_max = max(n_max, g.num_nodes_padded)
+            d_max = max(d_max, g.max_degree)
+        return n_max, d_max
+
+    # ---------------------------------------------------------------- step
+    def _build_step(self):
+        model, cw, tx = self.model, self.class_weights, self._tx
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, graph: GraphBatch, rng):
+            def loss_fn(params):
+                logits = model.apply(params, graph, train=True, rng=rng)
+                return weighted_cross_entropy(
+                    logits, graph.labels, cw, graph.node_mask
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            new_state = apply_updates(tx, state, grads)
+            return new_state, loss
+
+        return step
+
+    # ---------------------------------------------------------------- epochs
+    def run_epoch(self) -> float:
+        """One shuffled pass over the training data; returns mean batch loss.
+
+        LR decays per epoch via the epoch counter in the train state
+        (reference: lr_decay.step() at `model/gnn_model.py:47`).
+        """
+        assert self.train_data is not None, "trainer constructed without data"
+        data = self.train_data
+        bs = self.hp.batch_size
+        order = self.rng.permutation(len(data))
+        n_pad, d_pad = self._shape_budget
+        losses = []
+        for start in range(0, len(order), bs):
+            idxs = order[start:start + bs]
+            graphs = [data.get_graph(int(i)) for i in idxs]
+            while len(graphs) < bs:  # pad remainder batch: same compiled shape
+                graphs.append(_masked_copy(graphs[0]))
+            batch = batch_graphs(graphs, n_pad=n_pad, d_pad=d_pad)
+            self._dropout_key, sub = jax.random.split(self._dropout_key)
+            self.state, loss = self._step(self.state, batch, sub)
+            losses.append(loss)
+        self.state = self.state.next_epoch()
+        return float(np.mean([jax.device_get(l) for l in losses]))
+
+    # ---------------------------------------------------------------- eval
+    def predict_nodes(self, graph: GraphBatch) -> np.ndarray:
+        """Node logits for one B=1 graph -> numpy [n_nodes, C] (unpadded)."""
+        logits = jax.device_get(self._forward(self.state.params, graph))[0]
+        return logits[: int(graph.n_nodes[0])]
+
+    def evaluate(self, data, indices=None):
+        """Per-brain metrics averaged over the set.
+
+        Returns (avg_metrics[10], total_counts[8]) exactly like
+        `model/gnn_model.py:51-74`: [loss, node WT/CT/ET dice, voxel WT/CT/ET
+        dice, WT/CT/ET hd95], [pred counts x4, true counts x4].
+        """
+        if indices is None:
+            indices = range(len(data))
+        indices = list(indices)
+        metrics = np.zeros((len(indices), 10))
+        counts = np.zeros((len(indices), 8))
+        for row, i in enumerate(indices):
+            g = data.get_graph(int(i))
+            assert g.labels is not None, "evaluate requires labelled graphs"
+            logits = self._forward(self.state.params, g)
+            loss = weighted_cross_entropy(
+                logits, g.labels, self.class_weights, g.node_mask
+            )
+            n = int(g.n_nodes[0])
+            node_preds = np.asarray(jnp.argmax(logits[0], -1))[:n]
+            node_labels = np.asarray(g.labels[0])[:n]
+            metrics[row][0] = float(loss)
+            counts[row] = np.concatenate([
+                evaluation.count_node_labels(node_preds),
+                evaluation.count_node_labels(node_labels),
+            ])
+            node_dices = evaluation.calculate_node_dices(node_preds, node_labels)
+            mri_id = data.ids[int(i)]
+            sv = data.get_supervoxel_partitioning(mri_id)
+            true_vox = data.get_voxel_labels(mri_id)
+            pred_vox = project_nodes_to_img(sv, node_preds)
+            voxel_metrics = evaluation.calculate_brats_metrics(pred_vox, true_vox)
+            metrics[row][1:] = np.concatenate([node_dices, voxel_metrics])
+        return np.mean(metrics, axis=0), np.sum(counts, axis=0)
+
+    # ---------------------------------------------------------------- io
+    def save_weights(self, folder: str, name: str) -> None:
+        save_checkpoint(
+            f"{folder}{name}.ckpt",
+            self.state.params,
+            self.model_type,
+            self.hp,
+            extra={"epoch": int(self.state.epoch)},
+        )
+
+    def load_params(self, params) -> None:
+        import dataclasses
+
+        self.state = dataclasses.replace(self.state, params=params)

@@ -1,0 +1,18 @@
+"""Test config: force an 8-virtual-device CPU backend before any test touches JAX.
+
+This is the TPU-world "fake backend" (SURVEY §4): multi-chip sharding tests run on
+host CPU devices so pjit/shard_map collectives are validated without a real slice.
+The axon TPU plugin registers itself via sitecustomize and pins jax_platforms, so
+we must override the config after importing jax, not just the env var.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

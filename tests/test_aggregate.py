@@ -1,0 +1,83 @@
+"""Aggregation primitives vs a naive numpy edge-list oracle."""
+
+import numpy as np
+import pytest
+
+from gnn_tumor_seg_tpu.ops.graph import graph_from_arrays, batch_graphs
+from gnn_tumor_seg_tpu.ops.aggregate import aggregate_neighbors
+
+
+def random_graph(rng, n_nodes, avg_deg=5, f_dim=7):
+    # random undirected edges (both directions stored), possibly isolated nodes
+    m = max(1, n_nodes * avg_deg // 2)
+    a = rng.integers(0, n_nodes, m)
+    b = rng.integers(0, n_nodes, m)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    # dedupe parallel edges
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    feats = rng.normal(size=(n_nodes, f_dim)).astype(np.float32)
+    labels = rng.integers(0, 4, n_nodes).astype(np.int32)
+    return feats, src, dst, labels
+
+
+def oracle_agg(feats, src, dst, op):
+    n = feats.shape[0]
+    out = np.zeros_like(feats)
+    if op == "max":
+        seen = np.zeros(n, bool)
+        for s, d in zip(src, dst):
+            if not seen[d]:
+                out[d] = feats[s]
+                seen[d] = True
+            else:
+                out[d] = np.maximum(out[d], feats[s])
+        return out
+    deg = np.zeros(n)
+    for s, d in zip(src, dst):
+        out[d] += feats[s]
+        deg[d] += 1
+    if op == "mean":
+        out = out / np.maximum(deg, 1)[:, None]
+    return out
+
+
+@pytest.mark.parametrize("impl", ["dense", "scan"])
+@pytest.mark.parametrize("op", ["sum", "mean", "max"])
+def test_aggregate_matches_oracle(impl, op):
+    rng = np.random.default_rng(0)
+    feats, src, dst, labels = random_graph(rng, 53)
+    g = graph_from_arrays(feats, src, dst, labels)
+    got = np.asarray(aggregate_neighbors(g.feats, g.nbr, g.nbr_mask, op, impl=impl))[0]
+    want = oracle_agg(feats, src, dst, op)
+    n = feats.shape[0]
+    np.testing.assert_allclose(got[:n], want, rtol=1e-5, atol=1e-5)
+    # padded rows aggregate to 0
+    assert np.allclose(got[n:], 0.0)
+
+
+@pytest.mark.parametrize("op", ["sum", "mean", "max"])
+def test_batched_matches_individual(op):
+    rng = np.random.default_rng(1)
+    graphs, oracles = [], []
+    for n in (17, 40, 64):
+        feats, src, dst, labels = random_graph(rng, n)
+        graphs.append(graph_from_arrays(feats, src, dst, labels))
+        oracles.append((oracle_agg(feats, src, dst, op), n))
+    batch = batch_graphs(graphs)
+    got = np.asarray(aggregate_neighbors(batch.feats, batch.nbr, batch.nbr_mask, op))
+    for i, (want, n) in enumerate(oracles):
+        np.testing.assert_allclose(got[i, :n], want, rtol=1e-5, atol=1e-5)
+
+
+def test_graph_batch_shapes():
+    rng = np.random.default_rng(2)
+    feats, src, dst, labels = random_graph(rng, 100)
+    g = graph_from_arrays(feats, src, dst, labels)
+    assert g.num_nodes_padded == 128  # bucketed
+    assert g.max_degree % 8 == 0
+    assert int(g.n_nodes[0]) == 100
+    assert float(np.asarray(g.node_mask).sum()) == 100

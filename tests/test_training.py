@@ -1,0 +1,152 @@
+"""End-to-end training slice: loss decreases, metrics computed, checkpoints round-trip.
+
+Also pins loss/optimizer parity against torch (CrossEntropyLoss weighted-mean
+normalization; AdamW + ExponentialLR trajectory).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnn_tumor_seg_tpu.config import HyperParams, hardcoded_hyperparameters
+from gnn_tumor_seg_tpu.data.synthetic import SyntheticGraphDataset
+from gnn_tumor_seg_tpu.train.gnn_trainer import GNNTrainer
+from gnn_tumor_seg_tpu.train.losses import weighted_cross_entropy
+from gnn_tumor_seg_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+from gnn_tumor_seg_tpu.train.optim import make_train_state, apply_updates
+from gnn_tumor_seg_tpu.train import folds
+
+
+def small_hp(**kw):
+    base = dict(n_epochs=3, layer_sizes=[32, 32], lr=3e-3, batch_size=4)
+    base.update(kw)
+    return HyperParams(**base)
+
+
+def test_weighted_ce_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(50, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, 50)
+    w = np.array([0.1, 1, 2, 2], np.float32)
+    got = float(weighted_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                       jnp.asarray(w)))
+    want = torch.nn.CrossEntropyLoss(weight=torch.tensor(w))(
+        torch.tensor(logits), torch.tensor(labels)
+    ).item()
+    assert abs(got - want) < 1e-5
+
+
+def test_weighted_ce_mask_ignores_padding():
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(10, 4)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, 10))
+    w = jnp.asarray([0.1, 1, 2, 2], jnp.float32)
+    full = weighted_cross_entropy(logits, labels, w)
+    pad_logits = jnp.concatenate([logits, jnp.ones((5, 4)) * 100])
+    pad_labels = jnp.concatenate([labels, jnp.full((5,), -1)])
+    padded = weighted_cross_entropy(pad_logits, pad_labels, w)
+    assert abs(float(full) - float(padded)) < 1e-6
+    mask = jnp.concatenate([jnp.ones(10), jnp.zeros(5)])
+    masked = weighted_cross_entropy(
+        pad_logits, jnp.concatenate([labels, jnp.zeros(5, jnp.int32)]), w, mask
+    )
+    assert abs(float(full) - float(masked)) < 1e-6
+
+
+def test_adamw_exp_decay_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    w0 = rng.normal(size=(5, 3)).astype(np.float32)
+    x = rng.normal(size=(7, 5)).astype(np.float32)
+    y = rng.normal(size=(7, 3)).astype(np.float32)
+
+    params = {"w": jnp.asarray(w0)}
+    state, tx = make_train_state(params, lr=1e-2, lr_decay=0.9, w_decay=1e-2)
+
+    def loss_fn(p):
+        return jnp.mean((jnp.asarray(x) @ p["w"] - jnp.asarray(y)) ** 2)
+
+    wt = torch.tensor(w0, requires_grad=True)
+    opt = torch.optim.AdamW([wt], lr=1e-2, weight_decay=1e-2)
+    sched = torch.optim.lr_scheduler.ExponentialLR(opt, 0.9)
+    xt, yt = torch.tensor(x), torch.tensor(y)
+
+    for epoch in range(3):
+        for _ in range(2):  # 2 steps per epoch
+            grads = jax.grad(loss_fn)(state.params)
+            state = apply_updates(tx, state, grads)
+            opt.zero_grad()
+            ((xt @ wt - yt) ** 2).mean().backward()
+            opt.step()
+        state = state.next_epoch()
+        sched.step()
+    np.testing.assert_allclose(np.asarray(state.params["w"]),
+                               wt.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("model_type", ["GSpool", "GSmean", "GSgcn", "GAT"])
+def test_training_loss_decreases(model_type):
+    data = SyntheticGraphDataset(n_samples=6, grid=5, seed=3)
+    hp = small_hp()
+    if model_type == "GAT":
+        hp.gat_heads = [2, 2]
+        hp.gat_residuals = [False, True]
+    trainer = GNNTrainer(model_type, hp, data, seed=0)
+    first = trainer.run_epoch()
+    for _ in range(4):
+        last = trainer.run_epoch()
+    assert last < first, (first, last)
+
+
+def test_evaluate_metric_vector():
+    data = SyntheticGraphDataset(n_samples=4, grid=5, seed=4)
+    trainer = GNNTrainer("GSmean", small_hp(), data, seed=0)
+    for _ in range(25):
+        trainer.run_epoch()
+    metrics, counts = trainer.evaluate(data)
+    assert metrics.shape == (10,)
+    assert counts.shape == (8,)
+    assert counts[4:].sum() == sum(int(data.get_graph(i).n_nodes[0])
+                                   for i in range(len(data)))
+    assert np.isfinite(metrics).all()
+    assert metrics[1] > 0.6  # learnable synthetic task: decent WT node dice
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    data = SyntheticGraphDataset(n_samples=2, grid=4, seed=5)
+    hp = small_hp()
+    trainer = GNNTrainer("GSpool", hp, data, seed=0)
+    trainer.run_epoch()
+    trainer.save_weights(str(tmp_path) + "/", "run1_f1")
+    params, model_type, hp2, manifest = load_checkpoint(
+        str(tmp_path / "run1_f1.ckpt"), trainer.state.params
+    )
+    assert model_type == "GSpool"
+    assert hp2.layer_sizes == hp.layer_sizes
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fold_chunking_reference_semantics():
+    # contiguous folds dropping the remainder (utils/training_helpers.py:26-31)
+    assert folds.chunk_dataset_into_folds(10, 3) == [(0, 3), (3, 6), (6, 9)]
+
+
+def test_train_on_fold_checkpoints_and_early_stops(tmp_path):
+    class FakeModel:
+        def __init__(self, losses):
+            self.losses = iter(losses)
+            self.saved = []
+
+        def run_epoch(self):
+            return next(self.losses)
+
+        def save_weights(self, folder, name):
+            self.saved.append(name)
+
+    m = FakeModel([3.0, 2.0, 1.0, 5.0, 5.0, 5.0])
+    folds.train_on_fold(m, str(tmp_path), 6, "r", 1)
+    assert m.saved == ["r_f1"] * 3  # checkpoints each improvement, then early-stop
