@@ -1,0 +1,68 @@
+"""Shared CLI helpers: checkpoint-driven model loading and the joint
+GNN -> CNN per-sample prediction chain."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..config import DEFAULT_BACKGROUND_NODE_LOGITS, HyperParams
+from ..data.image import determine_tumor_crop, project_nodes_to_img
+from ..models.factory import init_graph_net
+from ..models.refine_cnn import CnnRefinementNet
+from ..train.checkpoint import load_checkpoint
+from ..train.cnn_trainer import combine_logits_and_image, pad_to_bucket
+
+__all__ = [
+    "load_gnn_from_checkpoint", "load_cnn_from_checkpoint",
+    "node_logits_to_voxel_logits", "predict_one_sample",
+]
+
+
+def load_gnn_from_checkpoint(weight_file: str):
+    """Rebuild the graph net from its embedded config (no manual hyperparameter
+    sync — the fix for `scripts/generate_gnn_predictions.py:27-34`)."""
+    leaves, model_type, hp, _ = load_checkpoint(weight_file)
+    model = init_graph_net(model_type, hp)
+    template = model.init(jax.random.PRNGKey(0))
+    params, *_ = load_checkpoint(weight_file, template)
+    forward = jax.jit(lambda graph: model.apply(params, graph, train=False))
+    return model, params, hp, forward
+
+
+def load_cnn_from_checkpoint(weight_file: str):
+    leaves, model_type, hp, _ = load_checkpoint(weight_file)
+    assert model_type == "CNN", f"expected CNN checkpoint, got {model_type}"
+    net = CnnRefinementNet(hp.in_feats, hp.out_classes, hp.layer_sizes)
+    template = net.init(jax.random.PRNGKey(0))
+    params, *_ = load_checkpoint(weight_file, template)
+    forward = jax.jit(lambda x: net.apply(params, x))
+    return net, params, hp, forward
+
+
+def node_logits_to_voxel_logits(node_logits: np.ndarray,
+                                sv_partition: np.ndarray) -> np.ndarray:
+    """Append the background placeholder row and gather per voxel
+    (`scripts/generate_gnn_predictions.py:55-62`)."""
+    bg = np.asarray(DEFAULT_BACKGROUND_NODE_LOGITS, node_logits.dtype)
+    table = np.concatenate([node_logits, bg])
+    return table[sv_partition]
+
+
+def predict_one_sample(gnn_forward, cnn_forward, graph, img: np.ndarray,
+                       sv_partition: np.ndarray) -> np.ndarray:
+    """Joint GNN -> CNN chain for one brain
+    (`scripts/generate_joint_predictions.py:59-73`): GNN node logits -> voxel
+    logits -> tumor crop -> CNN refinement -> argmax embedded into the full
+    (cropped-brain) volume. Returns int16 labels in training id space."""
+    node_logits = np.asarray(gnn_forward(graph))[0][: int(graph.n_nodes[0])]
+    voxel_logits = node_logits_to_voxel_logits(node_logits, sv_partition)
+    tumor_crop = determine_tumor_crop(voxel_logits.argmax(-1))
+    x = combine_logits_and_image(voxel_logits, img, tumor_crop)
+    true_shape = x.shape[:3]
+    x, _ = pad_to_bucket(x)
+    refined = np.asarray(cnn_forward(jax.numpy.asarray(x)[None]))[0]
+    preds = refined.argmax(-1)[: true_shape[0], : true_shape[1], : true_shape[2]]
+    out = np.zeros_like(sv_partition, dtype=np.int16)
+    out[tumor_crop] = preds
+    return out

@@ -1,0 +1,94 @@
+"""CLI: single-MRI end-to-end prediction (the containerized deployment contract).
+
+The reference documents (but does not ship) a Docker predict mode: an input
+directory with one MRI's four modalities `*_{flair,t1,t1ce,t2}.nii.gz` produces
+`<output>/<id>.nii.gz` with BraTS labels and the standard affine
+(`/root/reference/README.md:127-173`). This implements that contract as a
+standalone CLI: preprocess in memory (no intermediate artifacts), GNN forward,
+CNN refinement, uncrop, label swap, save.
+
+Run: python -m gnn_tumor_seg_tpu.cli.predict_single -i /input -o /output \
+        -g gnn.ckpt -c cnn.ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..data import nifti
+from ..data.graph_build import build_graph_sample
+from ..data.image import (determine_brain_crop, normalize_img, standardize_img,
+                          swap_labels_to_brats, uncrop_to_brats_size)
+from ..data.preprocess import DEFAULT_MODALITY_EXTS, STANDARDIZATION_STATS
+from ..ops.graph import graph_from_arrays
+from .common import (load_cnn_from_checkpoint, load_gnn_from_checkpoint,
+                     predict_one_sample)
+
+
+def predict_single_mri(input_dir: str, gnn_forward, cnn_forward,
+                       num_nodes: int = 15000, num_neighbors: int | None = 10,
+                       boxiness: float = 0.5,
+                       modality_exts=None) -> np.ndarray:
+    """Full chain for one MRI directory -> BraTS-labelled full-size volume."""
+    modality_exts = modality_exts or DEFAULT_MODALITY_EXTS
+    image = nifti.read_in_patient_sample(input_dir, modality_exts)
+    crop = determine_brain_crop(image)
+    cropped = image[crop]
+    mean = np.asarray(STANDARDIZATION_STATS[0], np.float32)
+    std = np.asarray(STANDARDIZATION_STATS[1], np.float32)
+    standardized = standardize_img(normalize_img(cropped), mean, std)
+    sample = build_graph_sample(standardized, None, num_nodes, boxiness,
+                               num_neighbors)
+    graph = graph_from_arrays(sample.feats, sample.src, sample.dst)
+    pred = predict_one_sample(gnn_forward, cnn_forward, graph, standardized,
+                              sample.sv_partition)
+    pred = uncrop_to_brats_size(crop, pred, shape=image.shape[:3])
+    return swap_labels_to_brats(pred)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-i", "--input_dir", default="/input", type=str,
+                   help="directory containing one MRI's modality files")
+    p.add_argument("-o", "--output_dir", default="/output", type=str)
+    p.add_argument("-g", "--gnn_weights", required=True, type=str)
+    p.add_argument("-c", "--cnn_weights", required=True, type=str)
+    p.add_argument("-n", "--num_nodes", default=15000, type=int)
+    p.add_argument("-k", "--num_neighbors", default=10, type=int)
+    p.add_argument("-b", "--boxiness", default=0.5, type=float)
+    p.add_argument("-m", "--modality_extensions", nargs="+",
+                   default=DEFAULT_MODALITY_EXTS)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    _, _, _, gnn_forward = load_gnn_from_checkpoint(os.path.expanduser(args.gnn_weights))
+    _, _, _, cnn_forward = load_cnn_from_checkpoint(os.path.expanduser(args.cnn_weights))
+    pred = predict_single_mri(
+        os.path.expanduser(args.input_dir), gnn_forward, cnn_forward,
+        num_nodes=args.num_nodes,
+        num_neighbors=args.num_neighbors or None,
+        boxiness=args.boxiness,
+        modality_exts=args.modality_extensions,
+    )
+    os.makedirs(os.path.expanduser(args.output_dir), exist_ok=True)
+    # name the output after the modality files' shared prefix, else 'prediction'
+    mri_id = "prediction"
+    for f in sorted(os.listdir(args.input_dir)):
+        for ext in args.modality_extensions:
+            if f.endswith(ext):
+                mri_id = f[: -len(ext)]
+                break
+        if mri_id != "prediction":
+            break
+    out_fp = os.path.join(os.path.expanduser(args.output_dir), f"{mri_id}.nii.gz")
+    nifti.save_as_nifti(pred, out_fp)
+    print(f"Saved prediction to {out_fp}")
+
+
+if __name__ == "__main__":
+    main()

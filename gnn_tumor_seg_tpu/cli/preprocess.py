@@ -1,0 +1,59 @@
+"""CLI: preprocess a BraTS-style dataset into graph samples.
+
+Argument contract mirrors `scripts/preprocess_dataset.py:172-187`.
+Run: python -m gnn_tumor_seg_tpu.cli.preprocess -d <raw> -o <out> [-l _seg.nii.gz]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..data.preprocess import DEFAULT_MODALITY_EXTS, DataPreprocessor
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-d", "--data_dir", required=True, type=str,
+                   help="path to the directory where raw MRI data is stored")
+    p.add_argument("-n", "--num_nodes", default=15000, type=int,
+                   help="How many supervoxels to segment brain into")
+    p.add_argument("-k", "--num_neighbors", default=10, type=int,
+                   help="Neighbors per node in the kNN adjacency; 0 = adjacency "
+                        "from contiguous supervoxels (with self-loops)")
+    p.add_argument("-b", "--boxiness", default=0.5, type=float,
+                   help="SLIC compactness (recommended range [0.1, 1.0])")
+    p.add_argument("-o", "--output_dir", required=True, type=str,
+                   help="Directory to save preprocessed samples to")
+    p.add_argument("-m", "--modality_extensions", nargs="+",
+                   default=DEFAULT_MODALITY_EXTS,
+                   help="File extensions of the desired modalities, in order")
+    p.add_argument("-l", "--label_extension", default=None, type=str,
+                   help="Label file extension; omit for unlabelled (test) data")
+    p.add_argument("-p", "--data_prefix", default="", type=str,
+                   help="Prefix all data folders share, e.g. BraTS2021")
+    p.add_argument("--save_json", action="store_true",
+                   help="Also write reference-compatible networkx node-link JSON")
+    p.add_argument("--threads", default=6, type=int)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    pre = DataPreprocessor(
+        data_dir=args.data_dir,
+        output_dir=args.output_dir,
+        num_nodes=args.num_nodes,
+        num_neighbors=args.num_neighbors,
+        boxiness=args.boxiness,
+        mri_prefix=args.data_prefix,
+        modality_extensions=args.modality_extensions,
+        label_extension=args.label_extension,
+        save_json=args.save_json,
+        n_threads=args.threads,
+    )
+    pre.run()
+    print(f"Finished preprocessing data from {args.data_dir}.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Minimal NIfTI-1 reader/writer in pure numpy (nibabel replacement).
+
+Capability match for `data_processing/nifti_io.py`: read modality stacks from a
+scan directory, read label volumes, write volumes with the fixed BraTS affine
+(`nifti_io.py:42-50`). Implemented against the NIfTI-1 specification (348-byte
+header, single-file .nii / .nii.gz, x-fastest data order); supports the dtypes
+BraTS uses (uint8/int16/int32/float32/float64) plus scl_slope/scl_inter scaling
+on read.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+
+import numpy as np
+
+__all__ = [
+    "read_nifti", "write_nifti", "save_as_nifti",
+    "read_in_patient_sample", "read_in_labels",
+    "BRATS_AFFINE",
+]
+
+# The BraTS/TCIA standard affine used by the reference writer (`nifti_io.py:43-48`).
+BRATS_AFFINE = np.array([
+    [-1.0, -0.0, -0.0, -0.0],
+    [-0.0, -1.0, -0.0, 239.0],
+    [0.0, 0.0, 1.0, 0.0],
+    [0.0, 0.0, 0.0, 1.0],
+])
+
+_DTYPES = {
+    2: np.uint8,
+    4: np.int16,
+    8: np.int32,
+    16: np.float32,
+    64: np.float64,
+    256: np.int8,
+    512: np.uint16,
+    768: np.uint32,
+}
+_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+_HDR_SIZE = 348
+
+
+def _open(fp: str, mode: str):
+    if fp.endswith(".gz"):
+        return gzip.open(fp, mode)
+    return open(fp, mode)
+
+
+def read_nifti(fp: str, dtype=None, return_affine: bool = False):
+    """Read a .nii / .nii.gz volume -> numpy array (optionally with its affine)."""
+    with _open(fp, "rb") as f:
+        raw = f.read()
+    if len(raw) < _HDR_SIZE:
+        raise ValueError(f"{fp}: truncated NIfTI header")
+    sizeof_hdr = struct.unpack_from("<i", raw, 0)[0]
+    if sizeof_hdr != _HDR_SIZE:
+        if struct.unpack_from(">i", raw, 0)[0] == _HDR_SIZE:
+            raise ValueError(f"{fp}: big-endian NIfTI not supported")
+        raise ValueError(f"{fp}: not a NIfTI-1 file (sizeof_hdr={sizeof_hdr})")
+    magic = raw[344:348]
+    if magic[:2] not in (b"n+", b"ni"):
+        raise ValueError(f"{fp}: bad NIfTI magic {magic!r}")
+    dim = struct.unpack_from("<8h", raw, 40)
+    ndim = dim[0]
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"{fp}: bad ndim {ndim}")
+    shape = tuple(dim[1:1 + ndim])
+    datatype = struct.unpack_from("<h", raw, 70)[0]
+    if datatype not in _DTYPES:
+        raise ValueError(f"{fp}: unsupported datatype code {datatype}")
+    vox_offset = int(struct.unpack_from("<f", raw, 108)[0]) or _HDR_SIZE + 4
+    scl_slope, scl_inter = struct.unpack_from("<2f", raw, 112)
+    arr_dtype = _DTYPES[datatype]
+    count = int(np.prod(shape))
+    data = np.frombuffer(raw, dtype=arr_dtype, count=count, offset=vox_offset)
+    data = data.reshape(shape, order="F")
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        slope = scl_slope if scl_slope != 0.0 else 1.0
+        data = data * slope + scl_inter
+    if dtype is not None:
+        data = np.asarray(data, dtype=dtype)
+    else:
+        data = np.asarray(data)
+    if return_affine:
+        srow = np.frombuffer(raw[280:328], dtype="<f4").reshape(3, 4)
+        affine = np.vstack([srow, [0, 0, 0, 1]]).astype(np.float64)
+        return data, affine
+    return data
+
+
+def write_nifti(img: np.ndarray, fp: str, affine: np.ndarray = BRATS_AFFINE) -> None:
+    """Write a 3D/4D numpy array as single-file NIfTI-1 (.nii or .nii.gz)."""
+    img = np.asarray(img)
+    if img.dtype == np.int64:
+        img = img.astype(np.int32)
+    if img.dtype == np.bool_:
+        img = img.astype(np.uint8)
+    if img.dtype not in _CODES:
+        img = img.astype(np.float32)
+    code = _CODES[img.dtype]
+    bitpix = img.dtype.itemsize * 8
+    ndim = img.ndim
+    dim = [ndim] + list(img.shape) + [1] * (7 - ndim)
+
+    hdr = bytearray(_HDR_SIZE)
+    struct.pack_into("<i", hdr, 0, _HDR_SIZE)
+    struct.pack_into("<8h", hdr, 40, *dim)
+    struct.pack_into("<h", hdr, 70, code)
+    struct.pack_into("<h", hdr, 72, bitpix)
+    # pixdim: qfac then unit spacings
+    struct.pack_into("<8f", hdr, 76, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into("<f", hdr, 108, float(_HDR_SIZE + 4))  # vox_offset
+    struct.pack_into("<2f", hdr, 112, 1.0, 0.0)             # scl_slope/inter
+    struct.pack_into("<b", hdr, 123, 10)                    # xyzt_units: mm | sec
+    struct.pack_into("<2h", hdr, 252, 0, 1)                 # qform_code=0, sform_code=1
+    affine = np.asarray(affine, dtype=np.float32)
+    struct.pack_into("<4f", hdr, 280, *affine[0])
+    struct.pack_into("<4f", hdr, 296, *affine[1])
+    struct.pack_into("<4f", hdr, 312, *affine[2])
+    hdr[344:348] = b"n+1\x00"
+
+    d = os.path.dirname(os.path.abspath(fp))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    with _open(fp, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(b"\x00\x00\x00\x00")  # extension flag
+        f.write(img.tobytes(order="F"))
+
+
+def save_as_nifti(img: np.ndarray, fp: str) -> None:
+    """Reference-contract writer with the hardcoded BraTS affine (`nifti_io.py:42-50`)."""
+    write_nifti(img, fp, BRATS_AFFINE)
+
+
+def read_in_patient_sample(scan_dir: str, modality_exts: list[str]) -> np.ndarray:
+    """Walk scan_dir for files ending in each modality extension and stack them
+    channels-last (`nifti_io.py:12-28`). Asserts all modalities are present."""
+    modality_imgs = []
+    for root, _, files in os.walk(scan_dir):
+        for ext in modality_exts:
+            for filename in files:
+                if filename.endswith(ext):
+                    modality_imgs.append(
+                        read_nifti(os.path.join(root, filename), np.float32)
+                    )
+    assert len(modality_imgs) == len(modality_exts), (
+        f"expected {len(modality_exts)} modalities in {scan_dir}, "
+        f"found {len(modality_imgs)}"
+    )
+    if len(modality_imgs) == 1:
+        return modality_imgs[0]
+    return np.stack(modality_imgs, 3)
+
+
+def read_in_labels(scan_dir: str, label_ext: str) -> np.ndarray:
+    """Find and read the label volume in a scan directory (`nifti_io.py:31-37`)."""
+    for filename in sorted(os.listdir(scan_dir)):
+        if filename.endswith(label_ext):
+            return read_nifti(os.path.join(scan_dir, filename), np.int16)
+    raise FileNotFoundError(f"Label image not found in folder: {scan_dir}")

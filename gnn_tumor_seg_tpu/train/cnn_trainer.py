@@ -1,0 +1,162 @@
+"""Refinement-CNN training/eval engine — TPU counterpart of `model/cnn_model.py`.
+
+Per sample: GNN voxel logits (4ch) + input image (4ch) are concatenated
+channels-last, cropped to the dilated predicted-tumor bounding box, and fed to the
+two-layer 3D CNN; class-weighted CE against the cropped labels
+(`model/cnn_model.py:36-56,85-88`). Samples whose logit file is missing are
+skipped (`cnn_model.py:40-43`).
+
+TPU-first deviation: tumor crops have data-dependent shapes, which would force a
+recompile per sample. Crops are therefore padded up to per-axis shape buckets
+(multiples of 16) with *edge replication* — so voxels near the true crop boundary
+see the same replicate-padding values the reference's exact-shape conv would —
+and the loss/metrics are masked to the true crop. Compile count is bounded by the
+handful of bucket combinations instead of the dataset size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import evaluation
+from ..config import HyperParams
+from ..models.refine_cnn import CnnRefinementNet
+from .checkpoint import save_checkpoint
+from .losses import weighted_cross_entropy
+from .optim import make_train_state, apply_updates
+
+__all__ = ["CNNTrainer", "combine_logits_and_image", "pad_to_bucket"]
+
+_CROP_BUCKET = 16
+
+
+def combine_logits_and_image(gnn_logits: np.ndarray, img: np.ndarray,
+                             tumor_crop) -> np.ndarray:
+    """Concat [image(4ch), logits(4ch)] channels-last and crop -> [dx,dy,dz,8]
+    (`model/cnn_model.py:85-88`, channels-last instead of NCDHW)."""
+    combined = np.concatenate([img, gnn_logits], axis=-1)
+    return combined[tumor_crop]
+
+
+def pad_to_bucket(vol: np.ndarray, bucket: int = _CROP_BUCKET):
+    """Edge-replicate-pad the leading 3 spatial dims up to multiples of `bucket`.
+    Returns (padded, valid_mask[spatial])."""
+    spatial = vol.shape[:3]
+    target = tuple(-(-s // bucket) * bucket for s in spatial)
+    pads = [(0, t - s) for s, t in zip(spatial, target)]
+    if vol.ndim == 4:
+        pads.append((0, 0))
+    padded = np.pad(vol, pads, mode="edge")
+    mask = np.zeros(target, np.float32)
+    mask[: spatial[0], : spatial[1], : spatial[2]] = 1.0
+    return padded, mask
+
+
+class CNNTrainer:
+    def __init__(self, hp: HyperParams, image_dataset=None, logit_dataset=None,
+                 seed: int = 0):
+        self.hp = hp
+        self.net = CnnRefinementNet(hp.in_feats, hp.out_classes, hp.layer_sizes)
+        self.params = self.net.init(jax.random.PRNGKey(seed))
+        self.state, self._tx = make_train_state(
+            self.params, hp.lr, hp.lr_decay, hp.w_decay
+        )
+        self.class_weights = jnp.asarray(hp.class_weights, jnp.float32)
+        self.image_dataset = image_dataset
+        self.logit_dataset = logit_dataset
+        self.rng = np.random.default_rng(seed)
+        self._step = self._build_step()
+        self._forward = jax.jit(lambda p, x: self.net.apply(p, x))
+
+    def _build_step(self):
+        net, cw, tx = self.net, self.class_weights, self._tx
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, x, labels, mask):
+            def loss_fn(params):
+                logits = net.apply(params, x, train=True)
+                return weighted_cross_entropy(logits, labels, cw, mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return apply_updates(tx, state, grads), loss
+
+        return step
+
+    # ------------------------------------------------------------------ data
+    def _prepare(self, mri_id: str, img: np.ndarray, labels: np.ndarray | None):
+        """-> (x [1,dx,dy,dz,8], labels [1,...], mask [1,...]) or None if the
+        logit file is missing."""
+        try:
+            gnn_logits, crop = self.logit_dataset.get_one(mri_id)
+        except FileNotFoundError:
+            return None
+        x = combine_logits_and_image(gnn_logits, img, crop)
+        x, mask = pad_to_bucket(x)
+        out = [jnp.asarray(x)[None], None, jnp.asarray(mask)[None]]
+        if labels is not None:
+            lab = labels[crop]
+            lab_p = np.full(mask.shape, -1, np.int32)
+            lab_p[: lab.shape[0], : lab.shape[1], : lab.shape[2]] = lab
+            out[1] = jnp.asarray(lab_p)[None]
+        return out, crop
+
+    # ------------------------------------------------------------------ epochs
+    def run_epoch(self) -> float:
+        assert self.image_dataset is not None and self.logit_dataset is not None
+        ids = list(self.image_dataset.ids)
+        self.rng.shuffle(ids)
+        losses = []
+        for mri_id in ids:
+            img = self.image_dataset.get_image(mri_id)
+            labels = self.image_dataset.get_voxel_labels(mri_id)
+            prep = self._prepare(mri_id, img, labels)
+            if prep is None:
+                continue
+            (x, lab, mask), _ = prep
+            self.state, loss = self._step(self.state, x, lab, mask)
+            losses.append(loss)
+        self.state = self.state.next_epoch()
+        return float(np.mean([jax.device_get(l) for l in losses]))
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, ids=None):
+        """Per-sample [loss, WT/CT/ET dice, WT/CT/ET hd95] averaged
+        (`model/cnn_model.py:58-78`; metrics over the cropped region)."""
+        ids = list(ids if ids is not None else self.image_dataset.ids)
+        metrics = np.zeros((len(ids), 7))
+        row = 0
+        for mri_id in ids:
+            img = self.image_dataset.get_image(mri_id)
+            labels = self.image_dataset.get_voxel_labels(mri_id)
+            prep = self._prepare(mri_id, img, labels)
+            if prep is None:
+                continue
+            (x, lab, mask), crop = prep
+            logits = self._forward(self.state.params, x)
+            loss = weighted_cross_entropy(logits, lab, self.class_weights, mask)
+            preds = np.asarray(jnp.argmax(logits, -1))[0]
+            true = labels[crop]
+            preds = preds[: true.shape[0], : true.shape[1], : true.shape[2]]
+            metrics[row][0] = float(loss)
+            metrics[row][1:] = evaluation.calculate_brats_metrics(preds, true)
+            row += 1
+        return np.mean(metrics[:row], axis=0) if row else np.zeros(7)
+
+    def predict_crop(self, x: jax.Array) -> np.ndarray:
+        """Logits for one prepared [1,dx,dy,dz,8] input."""
+        return np.asarray(self._forward(self.state.params, x))
+
+    # ------------------------------------------------------------------ io
+    def save_weights(self, folder: str, name: str) -> None:
+        save_checkpoint(
+            f"{folder}{name}.ckpt", self.state.params, "CNN", self.hp,
+            extra={"epoch": int(self.state.epoch)},
+        )
+
+    def load_params(self, params) -> None:
+        self.state = dataclasses.replace(self.state, params=params)

@@ -1,0 +1,228 @@
+"""Data layer: NIfTI codec, SLIC, segment statistics, adjacency, stores, datasets."""
+
+import numpy as np
+import pytest
+
+from gnn_tumor_seg_tpu.data import nifti, store
+from gnn_tumor_seg_tpu.data.graph_build import (
+    GraphSample, build_graph_sample, contiguity_edges, knn_adjacency_edges,
+    segment_centroids, segment_mode, segment_quantiles,
+)
+from gnn_tumor_seg_tpu.data.image import (
+    determine_brain_crop, determine_tumor_crop, normalize_img,
+    project_nodes_to_img, swap_labels_from_brats, swap_labels_to_brats,
+    uncrop_to_brats_size,
+)
+from gnn_tumor_seg_tpu.data.slic import slic_supervoxels
+
+
+# --------------------------------------------------------------------- nifti
+@pytest.mark.parametrize("ext", [".nii", ".nii.gz"])
+@pytest.mark.parametrize("dtype", [np.int16, np.float32, np.uint8])
+def test_nifti_roundtrip(tmp_path, ext, dtype):
+    rng = np.random.default_rng(0)
+    vol = (rng.normal(0, 50, (7, 9, 5)) if dtype == np.float32
+           else rng.integers(0, 100, (7, 9, 5))).astype(dtype)
+    fp = str(tmp_path / f"x{ext}")
+    nifti.write_nifti(vol, fp)
+    back, aff = nifti.read_nifti(fp, return_affine=True)
+    np.testing.assert_array_equal(back, vol)
+    np.testing.assert_allclose(aff, nifti.BRATS_AFFINE)
+
+
+def test_nifti_4d_roundtrip(tmp_path):
+    vol = np.random.default_rng(1).normal(size=(6, 5, 4, 4)).astype(np.float32)
+    fp = str(tmp_path / "x4d.nii.gz")
+    nifti.write_nifti(vol, fp)
+    np.testing.assert_array_equal(nifti.read_nifti(fp), vol)
+
+
+def test_nifti_patient_sample_stack(tmp_path):
+    d = tmp_path / "scan"
+    d.mkdir()
+    mods = ["_flair.nii.gz", "_t1.nii.gz"]
+    vols = []
+    for i, ext in enumerate(mods):
+        v = np.full((4, 4, 3), i + 1, np.int16)
+        vols.append(v)
+        nifti.write_nifti(v, str(d / f"case{ext}"))
+    nifti.write_nifti(np.ones((4, 4, 3), np.int16), str(d / "case_seg.nii.gz"))
+    stack = nifti.read_in_patient_sample(str(d), mods)
+    assert stack.shape == (4, 4, 3, 2)
+    assert (stack[..., 0] == 1).all() and (stack[..., 1] == 2).all()
+    labels = nifti.read_in_labels(str(d), "_seg.nii.gz")
+    assert (labels == 1).all()
+
+
+def test_nifti_rejects_garbage(tmp_path):
+    fp = str(tmp_path / "bad.nii")
+    with open(fp, "wb") as f:
+        f.write(b"\x00" * 400)
+    with pytest.raises(ValueError):
+        nifti.read_nifti(fp)
+
+
+# --------------------------------------------------------------------- image ops
+def test_label_swap_roundtrip():
+    rng = np.random.default_rng(2)
+    brats = rng.choice([0, 1, 2, 4], size=(5, 5, 5)).astype(np.int16)
+    back = swap_labels_to_brats(swap_labels_from_brats(brats))
+    np.testing.assert_array_equal(back, brats)
+    with pytest.raises(RuntimeError):
+        swap_labels_from_brats(np.array([3]))
+    with pytest.raises(RuntimeError):
+        swap_labels_to_brats(np.array([4]))
+
+
+def test_brain_crop_and_uncrop():
+    vol = np.zeros((20, 20, 20, 2), np.float32)
+    vol[5:15, 6:14, 7:13] = 1.0
+    crop = determine_brain_crop(vol)
+    assert vol[crop].shape == (10, 8, 6, 2)
+    preds = np.ones((10, 8, 6), np.int16)
+    full = uncrop_to_brats_size(crop, preds, shape=(20, 20, 20))
+    assert full.sum() == 10 * 8 * 6
+    assert full[5, 6, 7] == 1 and full[0, 0, 0] == 0
+
+
+def test_tumor_crop_dilation_and_fallback():
+    preds = np.zeros((10, 10, 10), np.int16)
+    preds[4:6, 4:6, 4:6] = 2
+    crop = determine_tumor_crop(preds)
+    assert preds[crop].shape == (4, 4, 4)  # dilated by 1 each side
+    empty = determine_tumor_crop(np.zeros((5, 5, 5), np.int16))
+    assert np.zeros((5, 5, 5))[empty].shape == (5, 5, 5)
+
+
+def test_projection_with_background():
+    sv = np.array([[-1, 0], [1, 1]], np.int16)
+    out = project_nodes_to_img(sv, np.array([7, 9]))
+    np.testing.assert_array_equal(out, [[0, 7], [9, 9]])
+    logits = project_nodes_to_img(sv, np.array([[1., 2.], [3., 4.]], np.float32))
+    assert logits.shape == (2, 2, 2)
+    np.testing.assert_array_equal(logits[0, 0], [0, 0])
+
+
+# --------------------------------------------------------------------- segments
+def test_segment_quantiles_matches_numpy():
+    rng = np.random.default_rng(3)
+    segs = rng.integers(0, 10, 500)
+    vals = rng.normal(size=500).astype(np.float32)
+    got = segment_quantiles(vals, segs, 12)
+    for s in range(10):
+        want = np.quantile(vals[segs == s], [0.1, 0.25, 0.5, 0.75, 0.9])
+        np.testing.assert_allclose(got[s], want, rtol=1e-5, atol=1e-5)
+    assert (got[10:] == 0).all()  # empty segments
+
+
+def test_segment_mode_and_centroids():
+    segs = np.array([0, 0, 0, 1, 1])
+    vals = np.array([2, 2, 1, 0, 3])
+    np.testing.assert_array_equal(segment_mode(vals, segs, 3, 4), [2, 0, 0])
+    sv = np.zeros((2, 2, 1), np.int32)
+    sv[1, :, 0] = 1
+    cents = segment_centroids(sv.shape, sv.reshape(-1), 2)
+    np.testing.assert_allclose(cents[0], [0, 0.5, 0])
+    np.testing.assert_allclose(cents[1], [1, 0.5, 0])
+
+
+def test_knn_adjacency_regularity():
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(40, 3))
+    src, dst = knn_adjacency_edges(pts, k=6)
+    deg = np.bincount(dst, minlength=40)
+    assert (deg >= 5).all() and np.median(deg) == 6  # nearly all exactly k
+    assert (src != dst).all()  # no self loops in kNN mode
+    # symmetric
+    s = set(zip(src.tolist(), dst.tolist()))
+    assert all((b, a) in s for a, b in s)
+
+
+def test_contiguity_edges_small_volume():
+    part = np.array([[[0, 0], [1, 1]], [[2, 2], [1, 1]]], np.int16)
+    src, dst = contiguity_edges(part, 3, self_loops=True)
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    assert (0, 1) in pairs and (1, 0) in pairs
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert (0, 0) in pairs and (1, 1) in pairs and (2, 2) in pairs
+
+
+# --------------------------------------------------------------------- slic
+def test_slic_partitions_reasonably():
+    rng = np.random.default_rng(5)
+    vol = rng.normal(size=(24, 24, 24, 2)).astype(np.float32)
+    vol[6:18, 6:18, 6:18] += 3.0
+    labels = slic_supervoxels(vol, n_segments=64, compactness=1.0)
+    assert labels.shape == (24, 24, 24)
+    n = labels.max() + 1
+    assert 20 <= n <= 100
+    assert set(np.unique(labels)) == set(range(n))  # contiguous ids
+    # higher compactness -> more regular: all segments non-trivial
+    sizes = np.bincount(labels.reshape(-1))
+    assert sizes.min() >= 8
+
+
+def test_slic_connectivity_enforced():
+    rng = np.random.default_rng(6)
+    vol = rng.normal(size=(20, 20, 20)).astype(np.float32)
+    labels = slic_supervoxels(vol, n_segments=27, compactness=0.5)
+    from scipy import ndimage
+    for lab in np.unique(labels):
+        _, ncomp = ndimage.label(labels == lab)
+        assert ncomp == 1, f"segment {lab} has {ncomp} components"
+
+
+# --------------------------------------------------------------------- stores
+def _sample():
+    rng = np.random.default_rng(7)
+    n = 30
+    feats = rng.normal(size=(n, 20)).astype(np.float32)
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    src, dst = knn_adjacency_edges(rng.normal(size=(n, 3)), 4)
+    return GraphSample(feats=feats, labels=labels,
+                       centroids=rng.normal(size=(n, 3)).astype(np.float32),
+                       src=src, dst=dst, sv_partition=None)
+
+
+def test_graph_npz_roundtrip(tmp_path):
+    s = _sample()
+    fp = str(tmp_path / "g.npz")
+    store.save_graph_npz(fp, s)
+    back = store.load_graph_npz(fp)
+    np.testing.assert_array_equal(back.feats, s.feats)
+    np.testing.assert_array_equal(back.labels, s.labels)
+    np.testing.assert_array_equal(back.src, s.src)
+    n, d = store.peek_graph_npz(fp)
+    assert n == 30 and d == np.bincount(s.dst, minlength=30).max()
+
+
+def test_networkx_json_roundtrip(tmp_path):
+    s = _sample()
+    fp = str(tmp_path / "g_nxgraph.json")
+    store.save_networkx_json(fp, s)
+    back = store.load_networkx_json(fp)
+    np.testing.assert_allclose(back.feats, s.feats, rtol=1e-6)
+    np.testing.assert_array_equal(back.labels, s.labels)
+    want = set(zip(s.src.tolist(), s.dst.tolist()))
+    got = set(zip(back.src.tolist(), back.dst.tolist()))
+    assert want == got
+
+
+def test_networkx_json_reference_compatible(tmp_path):
+    """Our JSON loads through networkx's own node_link_graph (the exact API the
+    reference uses at graph_io.py:34-37)."""
+    import json
+    import networkx as nx
+
+    s = _sample()
+    fp = str(tmp_path / "g_nxgraph.json")
+    store.save_networkx_json(fp, s)
+    with open(fp) as f:
+        # edges="links" = the key the reference era's networkx wrote/read
+        G = nx.readwrite.json_graph.node_link_graph(json.load(f), edges="links")
+    assert G.number_of_nodes() == s.n_nodes
+    assert G.nodes[0]["label"] == int(s.labels[0])
+    assert len(G.nodes[0]["features"]) == 20
+    # undirected edge count: each pair once
+    non_loop = (s.src != s.dst).sum() // 2 + (s.src == s.dst).sum()
+    assert G.number_of_edges() == non_loop
