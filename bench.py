@@ -1,0 +1,109 @@
+"""Benchmark: training-step throughput of the flagship 7-layer GraphSAGE-pool
+(256-d) on a batch of BraTS-scale supervoxel graphs.
+
+Metric: edges/s/chip — real (unpadded) edges aggregated per second across all 7
+layers of one full jitted train step (forward + backward + AdamW), the
+BASELINE.json headline. vs_baseline is the speedup over the identical jitted
+step on the host CPU backend (north-star target: >= 5x).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def build_step(model, hp, graph, device):
+    from gnn_tumor_seg_tpu.train.losses import weighted_cross_entropy
+    from gnn_tumor_seg_tpu.train.optim import apply_updates, make_train_state
+
+    params = jax.device_put(model.init(jax.random.PRNGKey(0)), device)
+    state, tx = make_train_state(params, hp.lr, hp.lr_decay, hp.w_decay)
+    state = jax.device_put(state, device)
+    graph = jax.device_put(graph, device)
+    cw = jax.device_put(jnp.asarray(hp.class_weights, jnp.float32), device)
+
+    @jax.jit
+    def step(state, graph):
+        def loss_fn(p):
+            logits = model.apply(p, graph)
+            return weighted_cross_entropy(logits, graph.labels, cw, graph.node_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return apply_updates(tx, state, grads), loss
+
+    return step, state, graph
+
+
+def time_steps(step, state, graph, n_steps):
+    state, loss = step(state, graph)  # warmup/compile
+    jax.block_until_ready(loss)
+    state, loss = step(state, graph)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = step(state, graph)
+    jax.block_until_ready(loss)
+    return (time.perf_counter() - t0) / n_steps
+
+
+def main():
+    from gnn_tumor_seg_tpu.config import HyperParams
+    from gnn_tumor_seg_tpu.models.sage import GraphSage
+    from gnn_tumor_seg_tpu.ops.graph import batch_graphs
+    from __graft_entry__ import _synthetic_graph
+
+    hp = HyperParams(layer_sizes=[256] * 6)  # 7-layer flagship
+    model = GraphSage(hp.in_feats, hp.layer_sizes, hp.out_classes, "pool")
+
+    batch = 6  # reference batch size (model/gnn_model.py:12)
+    n_nodes, k = 7000, 10
+    graphs = [_synthetic_graph(n_nodes=n_nodes, k=k, seed=i) for i in range(batch)]
+    graph = batch_graphs(graphs)
+    real_edges = batch * n_nodes * k  # per step, per layer
+    n_layers = model.num_layers
+    edges_per_step = real_edges * n_layers
+
+    tpu = jax.devices()[0]
+    step, state, g_dev = build_step(model, hp, graph, tpu)
+    t_tpu = time_steps(step, state, g_dev, n_steps=10)
+    tpu_eps = edges_per_step / t_tpu
+
+    cpu_eps = None
+    try:
+        cpu = jax.devices("cpu")[0]
+        step_c, state_c, g_cpu = build_step(model, hp, graph, cpu)
+        t_cpu = time_steps(step_c, state_c, g_cpu, n_steps=2)
+        cpu_eps = edges_per_step / t_cpu
+    except Exception:
+        pass
+
+    result = {
+        "metric": "train_step_edges_per_s_per_chip",
+        "value": round(tpu_eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(tpu_eps / cpu_eps, 2) if cpu_eps else None,
+        "detail": {
+            "model": "GSpool 7x256",
+            "batch_graphs": batch,
+            "nodes_per_graph": n_nodes,
+            "k": k,
+            "step_ms": round(t_tpu * 1e3, 2),
+            "cpu_step_ms": round(t_cpu * 1e3, 2) if cpu_eps else None,
+            "device": str(tpu),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""Node-partitioned execution of one giant graph across a device mesh.
+
+This is the graph-world analog of sequence parallelism (SURVEY §5.7): when a
+batched supervoxel graph is too big for one chip, its *nodes* are partitioned
+contiguously across devices; each device owns its nodes' features, computes their
+layer outputs, and fetches neighbor features from peer devices over ICI.
+
+Round-1 exchange strategy: a tiled all_gather of the (projected) node features
+inside shard_map — i.e. a full halo. Because SAGE-pool projects before
+aggregating (W_pool h), the gather moves already-projected features, and each
+device's matmuls run only on its node shard. A boundary-only
+ppermute exchange (send just the nodes that appear in remote neighbor lists,
+overlapped with local aggregation) is the planned refinement — the all_gather
+version pins the partitioned-numerics contract first: outputs must match the
+single-device forward exactly (tested).
+
+The parameter pytrees are shared with models/sage.py:GraphSage, so the same
+checkpoint runs single-chip or partitioned.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..models.sage import GraphSage
+from ..train.losses import weighted_cross_entropy
+
+__all__ = ["PartitionedGraph", "partition_graph", "HaloGraphSage"]
+
+_NEG_LARGE = -1e30
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PartitionedGraph:
+    """One giant graph, nodes split contiguously into n_parts shards.
+
+    Arrays carry a leading shard axis [n_parts, N_shard, ...]; `nbr` holds
+    *global* node indices (into the concatenation of all shards).
+    """
+
+    nbr: jax.Array        # int32 [S, N_shard, D]
+    nbr_mask: jax.Array   # f32   [S, N_shard, D]
+    node_mask: jax.Array  # f32   [S, N_shard]
+    feats: jax.Array      # f32   [S, N_shard, F]
+    labels: jax.Array | None  # int32 [S, N_shard]
+
+    @property
+    def n_parts(self) -> int:
+        return self.nbr.shape[0]
+
+    @property
+    def shard_size(self) -> int:
+        return self.nbr.shape[1]
+
+
+def partition_graph(feats: np.ndarray, src: np.ndarray, dst: np.ndarray,
+                    labels: np.ndarray | None, n_parts: int,
+                    shard_pad_to: int | None = None) -> PartitionedGraph:
+    """Host-side: contiguous node partition -> PartitionedGraph.
+
+    Contiguous ranges keep most supervoxel edges local (SLIC supervoxel ids are
+    spatially coherent), which the future boundary-only exchange exploits.
+    """
+    n = feats.shape[0]
+    shard = -(-n // n_parts)
+    if shard_pad_to is not None:
+        shard = max(shard, shard_pad_to)
+    shard = -(-shard // 8) * 8  # sublane-align
+    total = shard * n_parts
+
+    deg = np.bincount(dst, minlength=n)
+    d_pad = -(-max(int(deg.max()), 1) // 8) * 8
+
+    nbr = np.zeros((total, d_pad), np.int32)
+    mask = np.zeros((total, d_pad), np.float32)
+    order = np.argsort(dst, kind="stable")
+    s_sorted, d_sorted = src[order], dst[order]
+    slot = np.arange(len(d_sorted)) - np.repeat(
+        np.concatenate(([0], np.cumsum(deg)[:-1])), deg
+    )
+    # map original node id -> padded global id (shard-local padding at the end
+    # of each shard): node i lives in shard i//ceil; but contiguous ranges of
+    # real ids must land in shard slots. real id i -> (i // per, i % per)
+    per = -(-n // n_parts)  # real nodes per shard before padding
+
+    def to_padded(i):
+        return (i // per) * shard + (i % per)
+
+    nbr[to_padded(d_sorted), slot] = to_padded(s_sorted)
+    mask[to_padded(d_sorted), slot] = 1.0
+
+    feats_p = np.zeros((total, feats.shape[1]), np.float32)
+    feats_p[to_padded(np.arange(n))] = feats
+    node_mask = np.zeros((total,), np.float32)
+    node_mask[to_padded(np.arange(n))] = 1.0
+    labels_p = None
+    if labels is not None:
+        lp = np.full((total,), -1, np.int32)
+        lp[to_padded(np.arange(n))] = labels
+        labels_p = jnp.asarray(lp.reshape(n_parts, shard))
+    return PartitionedGraph(
+        nbr=jnp.asarray(nbr.reshape(n_parts, shard, d_pad)),
+        nbr_mask=jnp.asarray(mask.reshape(n_parts, shard, d_pad)),
+        node_mask=jnp.asarray(node_mask.reshape(n_parts, shard)),
+        feats=jnp.asarray(feats_p.reshape(n_parts, shard, feats.shape[1])),
+        labels=labels_p,
+    )
+
+
+def _gather_reduce(h_full, nbr, mask, op):
+    """h_full [N_total, F] (post-exchange), nbr [N_shard, D] global ids."""
+    g = h_full[nbr]                                   # [N_shard, D, F]
+    m = mask[..., None]
+    if op == "sum":
+        return jnp.sum(g * m, axis=1)
+    if op == "mean":
+        d = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+        return jnp.sum(g * m, axis=1) / d
+    g = jnp.where(m > 0, g, _NEG_LARGE)
+    out = jnp.max(g, axis=1)
+    return jnp.where(jnp.sum(mask, axis=1, keepdims=True) > 0, out, 0.0)
+
+
+class HaloGraphSage:
+    """GraphSage forward/loss over a PartitionedGraph via shard_map.
+
+    Same constructor/params as models.sage.GraphSage; apply() consumes a
+    PartitionedGraph whose shard axis maps onto the mesh 'data' axis.
+    """
+
+    def __init__(self, in_feats, layer_sizes, n_classes, aggregator,
+                 mesh: Mesh, axis: str = "data"):
+        self.base = GraphSage(in_feats, layer_sizes, n_classes, aggregator)
+        self.aggregator = aggregator
+        self.mesh = mesh
+        self.axis = axis
+
+    def init(self, key):
+        return self.base.init(key)
+
+    # ---------------------------------------------------------------- layers
+    def _layer(self, lp, h, nbr, mask, axis, last):
+        agg = self.aggregator
+        if agg == "pool":
+            p = jax.nn.relu(h @ lp["w_pool"] + lp["b_pool"])
+            p_full = jax.lax.all_gather(p, axis, tiled=True)   # halo exchange
+            mx = _gather_reduce(p_full, nbr, mask, "max")
+            out = h @ lp["w_self"] + mx @ lp["w_neigh"]
+        elif agg == "mean":
+            h_full = jax.lax.all_gather(h, axis, tiled=True)
+            hn = _gather_reduce(h_full, nbr, mask, "mean")
+            out = h @ lp["w_self"] + hn @ lp["w_neigh"]
+        else:  # gcn
+            h_full = jax.lax.all_gather(h, axis, tiled=True)
+            s = _gather_reduce(h_full, nbr, mask, "sum")
+            deg = jnp.sum(mask, axis=-1, keepdims=True)
+            out = ((s + h) / (deg + 1.0)) @ lp["w_neigh"]
+        out = out + lp["bias"]
+        return out if last else jax.nn.relu(out)
+
+    def apply(self, params, pg: PartitionedGraph) -> jax.Array:
+        """-> logits [S, N_shard, C]."""
+        axis = self.axis
+        n_layers = self.base.num_layers
+
+        def shard_fwd(params, feats, nbr, mask):
+            # inside shard_map: leading shard axis is consumed; block shapes
+            # [1, N_shard, ...] -> squeeze
+            h = feats[0]
+            nbr_, mask_ = nbr[0], mask[0]
+            for i, lp in enumerate(params):
+                h = self._layer(lp, h, nbr_, mask_, axis, last=(i == n_layers - 1))
+            return h[None]
+
+        fwd = shard_map(
+            shard_fwd,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+        )
+        return fwd(params, pg.feats, pg.nbr, pg.nbr_mask)
+
+    def loss(self, params, pg: PartitionedGraph, class_weights) -> jax.Array:
+        logits = self.apply(params, pg)
+        return weighted_cross_entropy(logits, pg.labels, class_weights,
+                                      pg.node_mask)

@@ -1,0 +1,98 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: DP/TP training and the
+node-partitioned (halo) giant-graph path, with exact parity vs single-device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnn_tumor_seg_tpu.config import HyperParams
+from gnn_tumor_seg_tpu.data.synthetic import SyntheticGraphDataset
+from gnn_tumor_seg_tpu.models.sage import GraphSage
+from gnn_tumor_seg_tpu.ops.graph import graph_from_arrays
+from gnn_tumor_seg_tpu.parallel.dp import ParallelGNNTrainer
+from gnn_tumor_seg_tpu.parallel.halo import HaloGraphSage, partition_graph
+from gnn_tumor_seg_tpu.parallel.mesh import make_mesh
+from gnn_tumor_seg_tpu.train.losses import weighted_cross_entropy
+from tests.test_aggregate import random_graph
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
+def test_parallel_trainer_loss_decreases(n_data, n_model):
+    data = SyntheticGraphDataset(n_samples=8, grid=5, seed=8)
+    hp = HyperParams(n_epochs=2, layer_sizes=[32, 32], lr=3e-3, batch_size=8)
+    mesh = make_mesh(n_data, n_model)
+    tr = ParallelGNNTrainer("GSpool", hp, data, seed=0, mesh=mesh)
+    first = tr.run_epoch()
+    for _ in range(4):
+        last = tr.run_epoch()
+    assert last < first
+
+
+def test_parallel_matches_single_device():
+    """Same seed, same data order -> the DP step must match single-device."""
+    data = SyntheticGraphDataset(n_samples=4, grid=4, seed=9)
+    hp = HyperParams(n_epochs=1, layer_sizes=[16], lr=1e-3, batch_size=4)
+    from gnn_tumor_seg_tpu.train.gnn_trainer import GNNTrainer
+
+    single = GNNTrainer("GSmean", hp, data, seed=0)
+    mesh = make_mesh(4, 2)
+    par = ParallelGNNTrainer("GSmean", hp, data, seed=0, mesh=mesh)
+    l1 = single.run_epoch()
+    l2 = par.run_epoch()
+    assert abs(l1 - l2) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(single.state.params),
+                    jax.tree_util.tree_leaves(par.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.parametrize("agg", ["mean", "gcn", "pool"])
+def test_halo_forward_matches_single_device(agg):
+    rng = np.random.default_rng(10)
+    n = 100
+    feats, src, dst, labels = random_graph(rng, n, avg_deg=6, f_dim=12)
+    g = graph_from_arrays(feats, src, dst, labels)
+
+    model = GraphSage(12, [16, 16], 4, agg)
+    params = model.init(jax.random.PRNGKey(3))
+    want = np.asarray(model.apply(params, g))[0][:n]
+
+    mesh = make_mesh(8, 1)
+    halo = HaloGraphSage(12, [16, 16], 4, agg, mesh)
+    pg = partition_graph(feats, src, dst, labels, n_parts=8)
+    got = np.asarray(jax.jit(halo.apply)(params, pg))
+    per = -(-n // 8)
+    shard = pg.shard_size
+    got_real = np.concatenate(
+        [got[s][: min(per, n - s * per)] for s in range(8) if s * per < n]
+    )
+    np.testing.assert_allclose(got_real, want, rtol=2e-4, atol=2e-4)
+
+
+def test_halo_loss_and_grads_match_single_device():
+    rng = np.random.default_rng(11)
+    n = 64
+    feats, src, dst, labels = random_graph(rng, n, avg_deg=5, f_dim=8)
+    g = graph_from_arrays(feats, src, dst, labels)
+    cw = jnp.asarray([0.1, 1, 2, 2])
+
+    model = GraphSage(8, [16], 4, "pool")
+    params = model.init(jax.random.PRNGKey(4))
+
+    def single_loss(p):
+        logits = model.apply(p, g)
+        return weighted_cross_entropy(logits, g.labels, cw, g.node_mask)
+
+    mesh = make_mesh(8, 1)
+    halo = HaloGraphSage(8, [16], 4, "pool", mesh)
+    pg = partition_graph(feats, src, dst, labels, n_parts=8)
+
+    l1, g1 = jax.value_and_grad(single_loss)(params)
+    l2, g2 = jax.value_and_grad(lambda p: halo.loss(p, pg, cw))(params)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
