@@ -6,7 +6,7 @@ layers of one full jitted train step (forward + backward + AdamW), the
 BASELINE.json headline. vs_baseline is the speedup over the identical jitted
 step on the host CPU backend (north-star target: >= 5x).
 
-Prints exactly one JSON line.
+Prints exactly one JSON line on stdout; progress goes to stderr.
 """
 
 import json
@@ -18,8 +18,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
+from gnn_tumor_seg_tpu.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def build_step(model, hp, graph, device):
@@ -35,7 +43,7 @@ def build_step(model, hp, graph, device):
     @jax.jit
     def step(state, graph):
         def loss_fn(p):
-            logits = model.apply(p, graph)
+            logits = model.apply(p, graph, scan_middle=True)
             return weighted_cross_entropy(logits, graph.labels, cw, graph.node_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -44,9 +52,11 @@ def build_step(model, hp, graph, device):
     return step, state, graph
 
 
-def time_steps(step, state, graph, n_steps):
-    state, loss = step(state, graph)  # warmup/compile
+def time_steps(step, state, graph, n_steps, label=""):
+    t0 = time.perf_counter()
+    state, loss = step(state, graph)  # compile + warmup
     jax.block_until_ready(loss)
+    log(f"[bench] {label} compile+first step: {time.perf_counter()-t0:.1f}s")
     state, loss = step(state, graph)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
@@ -70,22 +80,25 @@ def main():
     graphs = [_synthetic_graph(n_nodes=n_nodes, k=k, seed=i) for i in range(batch)]
     graph = batch_graphs(graphs)
     real_edges = batch * n_nodes * k  # per step, per layer
-    n_layers = model.num_layers
-    edges_per_step = real_edges * n_layers
+    edges_per_step = real_edges * model.num_layers
 
     tpu = jax.devices()[0]
+    log(f"[bench] device: {tpu}")
     step, state, g_dev = build_step(model, hp, graph, tpu)
-    t_tpu = time_steps(step, state, g_dev, n_steps=10)
+    t_tpu = time_steps(step, state, g_dev, n_steps=10, label="tpu")
     tpu_eps = edges_per_step / t_tpu
+    log(f"[bench] tpu step {t_tpu*1e3:.2f} ms -> {tpu_eps:.3e} edges/s")
 
-    cpu_eps = None
-    try:
-        cpu = jax.devices("cpu")[0]
-        step_c, state_c, g_cpu = build_step(model, hp, graph, cpu)
-        t_cpu = time_steps(step_c, state_c, g_cpu, n_steps=2)
-        cpu_eps = edges_per_step / t_cpu
-    except Exception:
-        pass
+    cpu_eps = t_cpu = None
+    if os.environ.get("GTS_BENCH_SKIP_CPU") != "1":
+        try:
+            cpu = jax.devices("cpu")[0]
+            step_c, state_c, g_cpu = build_step(model, hp, graph, cpu)
+            t_cpu = time_steps(step_c, state_c, g_cpu, n_steps=2, label="cpu")
+            cpu_eps = edges_per_step / t_cpu
+            log(f"[bench] cpu step {t_cpu*1e3:.2f} ms -> {cpu_eps:.3e} edges/s")
+        except Exception as e:
+            log(f"[bench] cpu baseline failed: {e}")
 
     result = {
         "metric": "train_step_edges_per_s_per_chip",

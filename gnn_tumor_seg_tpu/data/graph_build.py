@@ -201,13 +201,26 @@ def build_graph_sample(
         voxel_labels = np.zeros(img.shape[:3], np.int16)
 
     flat_sv = sv.reshape(-1)
-    feats = np.concatenate(
-        [segment_quantiles(img[..., c].reshape(-1), flat_sv, n_sv)
-         for c in range(img.shape[-1])], axis=1
-    )
     n_classes = max(int(voxel_labels.max()) + 1, 1)
-    sv_labels = segment_mode(voxel_labels.reshape(-1), flat_sv, n_sv, n_classes)
-    sv_centroids = segment_centroids(sv.shape, flat_sv, n_sv)
+    from . import native
+
+    if native.available():
+        feats = np.concatenate(
+            [native.segment_quantiles_native(img[..., c].reshape(-1), flat_sv,
+                                             n_sv, QUANTILES)
+             for c in range(img.shape[-1])], axis=1
+        )
+        sv_labels = native.segment_mode_native(
+            voxel_labels.reshape(-1).astype(np.int16), flat_sv, n_sv, n_classes
+        )
+        sv_centroids = native.segment_centroids_native(sv.astype(np.int32), n_sv)
+    else:
+        feats = np.concatenate(
+            [segment_quantiles(img[..., c].reshape(-1), flat_sv, n_sv)
+             for c in range(img.shape[-1])], axis=1
+        )
+        sv_labels = segment_mode(voxel_labels.reshape(-1), flat_sv, n_sv, n_classes)
+        sv_centroids = segment_centroids(sv.shape, flat_sv, n_sv)
 
     partition, feats, centroids, labels = discard_empty_supervoxels(
         sv, feats, sv_centroids, sv_labels

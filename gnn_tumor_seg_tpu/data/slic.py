@@ -49,11 +49,17 @@ def slic_supervoxels(
     max_iter: int = 10,
     enforce_connectivity: bool = True,
     min_size_factor: float = 0.25,
+    use_native: bool | str = "auto",
 ) -> np.ndarray:
     """Partition a 3D (X,Y,Z) or 4D (X,Y,Z,C) volume into supervoxels.
 
     Returns int32 labels of shape (X,Y,Z), contiguous from 0. Drop-in capability
     for skimage.slic(convert2lab=False) as used at `mri2graph/graphgen.py:243`.
+
+    use_native: route assignment/update (and connectivity) through the C++
+    kernels in native/gts_native.cc when the library is available ("auto");
+    the numpy path is the algorithmic canonical (same blockwise formulation;
+    partition-identical, tested).
     """
     image = np.asarray(image, dtype=np.float32)
     if image.ndim == 3:
@@ -65,6 +71,18 @@ def slic_supervoxels(
         )
     (gx, gy, gz), step = _init_grid((X, Y, Z), n_segments)
     n_centers = gx * gy * gz
+
+    if use_native in ("auto", True):
+        from . import native
+
+        if native.available():
+            labels = native.slic3d_native(image, gx, gy, gz, compactness, step,
+                                          max_iter)
+            if enforce_connectivity:
+                labels = native.enforce_connectivity_native(labels)
+            return _relabel_contiguous(labels)
+        if use_native is True:
+            raise RuntimeError("native SLIC requested but libgts_native is unavailable")
 
     xs = np.arange(X, dtype=np.float32)
     ys = np.arange(Y, dtype=np.float32)

@@ -115,21 +115,56 @@ class GraphSage:
         ]
 
     def apply(self, params, graph: GraphBatch, h=None, train: bool = False,
-              rng=None, impl: str | None = None) -> jax.Array:
-        """Forward pass -> logits [B, N, n_classes]."""
+              rng=None, impl: str | None = None,
+              scan_middle: bool = False) -> jax.Array:
+        """Forward pass -> logits [B, N, n_classes].
+
+        scan_middle=True rolls the identically-shaped hidden layers into one
+        lax.scan over stacked parameters — the compiled program contains ONE
+        hidden-layer body instead of num_layers copies, cutting XLA compile time
+        for deep stacks (the 7-layer flagship) with identical numerics.
+        """
         if h is None:
             h = graph.feats
         n = self.num_layers
         rngs = [None] * n
-        if train and self.dropout > 0.0 and rng is not None:
+        use_dropout = train and self.dropout > 0.0 and rng is not None
+        if use_dropout:
             rngs = list(jax.random.split(rng, n))
-        for i, lp in enumerate(params):
-            last = i == n - 1
-            h = sage_conv_apply(
-                lp, graph, h, self.aggregator,
-                activation=None if last else jax.nn.relu,
-                feat_drop=0.0 if (last or not train) else self.dropout,
-                rng=None if last else rngs[i],
-                impl=impl,
+
+        mid = self.dims[1:-1]
+        can_scan = (scan_middle and n >= 4
+                    and all(w == mid[0] for w in mid))
+        if not can_scan:
+            for i, lp in enumerate(params):
+                last = i == n - 1
+                h = sage_conv_apply(
+                    lp, graph, h, self.aggregator,
+                    activation=None if last else jax.nn.relu,
+                    feat_drop=0.0 if (last or not train) else self.dropout,
+                    rng=None if last else rngs[i],
+                    impl=impl,
+                )
+            return h
+
+        h = sage_conv_apply(params[0], graph, h, self.aggregator,
+                            activation=jax.nn.relu,
+                            feat_drop=self.dropout if train else 0.0,
+                            rng=rngs[0], impl=impl)
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params[1:-1])
+        mid_rngs = (jnp.stack(rngs[1:n - 1]) if use_dropout
+                    else jnp.zeros((n - 2, 2), jnp.uint32))
+
+        def body(carry, xs):
+            lp, r = xs
+            out = sage_conv_apply(
+                lp, graph, carry, self.aggregator, activation=jax.nn.relu,
+                feat_drop=self.dropout if use_dropout else 0.0,
+                rng=r if use_dropout else None, impl=impl,
             )
-        return h
+            return out, None
+
+        h, _ = jax.lax.scan(body, h, (stacked, mid_rngs))
+        return sage_conv_apply(params[-1], graph, h, self.aggregator,
+                               activation=None, feat_drop=0.0, rng=None,
+                               impl=impl)

@@ -100,20 +100,7 @@ def _agg_scan(h, nbr, nbr_mask, op):
     return out
 
 
-def aggregate_neighbors(
-    h: jax.Array,
-    nbr: jax.Array,
-    nbr_mask: jax.Array,
-    op: str,
-    impl: str | None = None,
-) -> jax.Array:
-    """Aggregate neighbor features per destination node.
-
-    h: [B, N, F] node features; nbr: int32 [B, N, D]; nbr_mask: f32 [B, N, D].
-    Returns [B, N, F].
-    """
-    assert op in _VALID_OPS, op
-    impl = impl or _DEFAULT_IMPL
+def _agg_fwd_impl(h, nbr, nbr_mask, op, impl):
     if impl == "dense":
         return _agg_dense(h, nbr, nbr_mask, op)
     if impl == "scan":
@@ -123,3 +110,99 @@ def aggregate_neighbors(
 
         return aggregate_neighbors_pallas(h, nbr, nbr_mask, op)
     raise ValueError(f"unknown aggregation impl {impl!r}")
+
+
+# ---------------------------------------------------------------------------
+# Symmetric-graph custom VJP: scatter-free backward.
+#
+# TPU scatter-add (the autodiff VJP of a gather) serializes badly; but every
+# graph this framework builds is undirected (kNN adjacency is symmetrized,
+# contiguity adjacency is symmetric + self-loops), so the reverse neighbor
+# table equals the forward one, and the gradient w.r.t. h is itself a
+# gather-reduce over the SAME table:
+#
+#   sum : grad_h[u]   = sum_{v in N(u)} g[v]
+#   mean: grad_h[u]   = sum_{v in N(u)} g[v] / deg(v)
+#   max : grad_h[u,f] = sum_{v in N(u)} g[v,f] * [winner_src(v,f) == u]
+#
+# max uses first-winner (argmax-slot) routing — the same subgradient choice as
+# scatter-max backends (DGL/torch) — instead of autodiff's split-among-ties.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _agg_symmetric(h, nbr, nbr_mask, op, impl):
+    return _agg_fwd_impl(h, nbr, nbr_mask, op, impl)
+
+
+def _agg_symmetric_fwd(h, nbr, nbr_mask, op, impl):
+    out = _agg_fwd_impl(h, nbr, nbr_mask, op, impl)
+    if op == "max":
+        # winner slot per (v, f): which neighbor slot produced the max
+        g = gather_neighbors(h, nbr)                      # [B, N, D, F]
+        g = jnp.where(nbr_mask[..., None] > 0, g, _NEG_LARGE)
+        arg = jnp.argmax(g, axis=2).astype(jnp.int32)     # [B, N, F]
+        # winner source node id via a D-way select (no gather: D is small and a
+        # per-(v,f) vmap gather lowers catastrophically on TPU)
+        D = nbr.shape[-1]
+        winner = jnp.zeros(arg.shape, jnp.int32)
+        for d in range(D):
+            winner = jnp.where(arg == d, nbr[:, :, d, None], winner)
+        has = jnp.sum(nbr_mask, axis=-1, keepdims=True) > 0
+        winner = jnp.where(has, winner, -1)
+        return out, (nbr, nbr_mask, winner)
+    return out, (nbr, nbr_mask, None)
+
+
+def _agg_symmetric_bwd(op, impl, res, gout):
+    nbr, nbr_mask, winner = res
+    B, N, D = nbr.shape
+    gather = jax.vmap(lambda x, idx: x[idx])              # over B
+
+    if op in ("sum", "mean"):
+        g = gout
+        if op == "mean":
+            deg = jnp.maximum(jnp.sum(nbr_mask, axis=-1, keepdims=True), 1.0)
+            g = gout / deg
+        grad_h = _agg_scan(g, nbr, nbr_mask, "sum")
+        return grad_h, None, None
+
+    # max: scan over slots; route g[v] to u where u won (winner[v, f] == u)
+    u_ids = jax.lax.broadcasted_iota(jnp.int32, (B, N, 1), 1)
+    nbr_t = jnp.moveaxis(nbr, -1, 0)
+    mask_t = jnp.moveaxis(nbr_mask, -1, 0)
+
+    def body(acc, slot):
+        idx, m = slot                                     # [B, N]
+        g_v = gather(gout, idx)                           # [B, N, F]
+        w_v = gather(winner, idx)                         # [B, N, F]
+        hit = (w_v == u_ids) & (m[..., None] > 0)
+        return acc + jnp.where(hit, g_v, 0.0), None
+
+    grad_h, _ = jax.lax.scan(body, jnp.zeros_like(gout), (nbr_t, mask_t))
+    return grad_h, None, None
+
+
+_agg_symmetric.defvjp(_agg_symmetric_fwd, _agg_symmetric_bwd)
+
+
+def aggregate_neighbors(
+    h: jax.Array,
+    nbr: jax.Array,
+    nbr_mask: jax.Array,
+    op: str,
+    impl: str | None = None,
+    symmetric: bool = True,
+) -> jax.Array:
+    """Aggregate neighbor features per destination node.
+
+    h: [B, N, F] node features; nbr: int32 [B, N, D]; nbr_mask: f32 [B, N, D].
+    Returns [B, N, F]. symmetric=True (the default — all graphs this framework
+    constructs are undirected) enables the scatter-free custom VJP above; pass
+    False for directed neighbor tables to fall back to autodiff scatter.
+    """
+    assert op in _VALID_OPS, op
+    impl = impl or _DEFAULT_IMPL
+    if symmetric:
+        return _agg_symmetric(h, nbr, nbr_mask, op, impl)
+    return _agg_fwd_impl(h, nbr, nbr_mask, op, impl)
