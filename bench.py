@@ -30,7 +30,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_step(model, hp, graph, device):
+def build_step(model, hp, graph, device, impl=None):
     from gnn_tumor_seg_tpu.train.losses import weighted_cross_entropy
     from gnn_tumor_seg_tpu.train.optim import apply_updates, make_train_state
 
@@ -40,10 +40,12 @@ def build_step(model, hp, graph, device):
     graph = jax.device_put(graph, device)
     cw = jax.device_put(jnp.asarray(hp.class_weights, jnp.float32), device)
 
+    impl = impl or os.environ.get("GTS_AGG_IMPL", "pallas")
+
     @jax.jit
     def step(state, graph):
         def loss_fn(p):
-            logits = model.apply(p, graph, scan_middle=True)
+            logits = model.apply(p, graph, scan_middle=True, impl=impl)
             return weighted_cross_entropy(logits, graph.labels, cw, graph.node_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -77,7 +79,10 @@ def main():
 
     batch = 6  # reference batch size (model/gnn_model.py:12)
     n_nodes, k = 7000, 10
+    impl = os.environ.get("GTS_AGG_IMPL", "pallas")
     graphs = [_synthetic_graph(n_nodes=n_nodes, k=k, seed=i) for i in range(batch)]
+    if impl == "pallas":
+        graphs = [g.with_tiled_aux() for g in graphs]
     graph = batch_graphs(graphs)
     real_edges = batch * n_nodes * k  # per step, per layer
     edges_per_step = real_edges * model.num_layers
@@ -93,7 +98,8 @@ def main():
     if os.environ.get("GTS_BENCH_SKIP_CPU") != "1":
         try:
             cpu = jax.devices("cpu")[0]
-            step_c, state_c, g_cpu = build_step(model, hp, graph, cpu)
+            # CPU baseline runs the dense XLA path (pallas would interpret)
+            step_c, state_c, g_cpu = build_step(model, hp, graph, cpu, impl="dense")
             t_cpu = time_steps(step_c, state_c, g_cpu, n_steps=2, label="cpu")
             cpu_eps = edges_per_step / t_cpu
             log(f"[bench] cpu step {t_cpu*1e3:.2f} ms -> {cpu_eps:.3e} edges/s")
@@ -107,6 +113,7 @@ def main():
         "vs_baseline": round(tpu_eps / cpu_eps, 2) if cpu_eps else None,
         "detail": {
             "model": "GSpool 7x256",
+            "agg_impl": impl,
             "batch_graphs": batch,
             "nodes_per_graph": n_nodes,
             "k": k,

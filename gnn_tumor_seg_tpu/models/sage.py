@@ -15,6 +15,7 @@ batched matmuls (MXU) plus a masked neighbor gather-reduce (ops/aggregate.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -62,17 +63,21 @@ def sage_conv_apply(
 ) -> jax.Array:
     """One SAGEConv layer. h: [B, N, F_in] -> [B, N, F_out]."""
     h = _dropout(h, feat_drop, rng)
+    agg = functools.partial(
+        aggregate_neighbors, nbr=graph.nbr, nbr_mask=graph.nbr_mask,
+        impl=impl, tiled=graph.tiled,
+    )
     if aggregator == "mean":
-        h_n = aggregate_neighbors(h, graph.nbr, graph.nbr_mask, "mean", impl=impl)
+        h_n = agg(h, op="mean")
         out = h @ params["w_self"] + h_n @ params["w_neigh"]
     elif aggregator == "gcn":
-        s = aggregate_neighbors(h, graph.nbr, graph.nbr_mask, "sum", impl=impl)
+        s = agg(h, op="sum")
         deg = jnp.sum(graph.nbr_mask, axis=-1, keepdims=True)  # [B, N, 1]
         h_n = (s + h) / (deg + 1.0)
         out = h_n @ params["w_neigh"]
     elif aggregator == "pool":
         p = jax.nn.relu(h @ params["w_pool"] + params["b_pool"])
-        mx = aggregate_neighbors(p, graph.nbr, graph.nbr_mask, "max", impl=impl)
+        mx = agg(p, op="max")
         out = h @ params["w_self"] + mx @ params["w_neigh"]
     else:
         raise ValueError(f"unknown aggregator {aggregator!r}")

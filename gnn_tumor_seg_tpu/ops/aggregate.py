@@ -105,10 +105,6 @@ def _agg_fwd_impl(h, nbr, nbr_mask, op, impl):
         return _agg_dense(h, nbr, nbr_mask, op)
     if impl == "scan":
         return _agg_scan(h, nbr, nbr_mask, op)
-    if impl == "pallas":
-        from .pallas.gather_agg import aggregate_neighbors_pallas
-
-        return aggregate_neighbors_pallas(h, nbr, nbr_mask, op)
     raise ValueError(f"unknown aggregation impl {impl!r}")
 
 
@@ -193,6 +189,7 @@ def aggregate_neighbors(
     op: str,
     impl: str | None = None,
     symmetric: bool = True,
+    tiled=None,
 ) -> jax.Array:
     """Aggregate neighbor features per destination node.
 
@@ -200,9 +197,19 @@ def aggregate_neighbors(
     Returns [B, N, F]. symmetric=True (the default — all graphs this framework
     constructs are undirected) enables the scatter-free custom VJP above; pass
     False for directed neighbor tables to fall back to autodiff scatter.
+    impl='pallas' uses the one-hot MXU kernels (requires `tiled` — the
+    GraphBatch.with_tiled_aux() tables — and a symmetric graph).
     """
     assert op in _VALID_OPS, op
     impl = impl or _DEFAULT_IMPL
+    if impl == "pallas":
+        assert tiled is not None, (
+            "impl='pallas' needs tile-compaction tables: call "
+            "GraphBatch.with_tiled_aux() before batching/jit"
+        )
+        from .pallas.gather_agg import aggregate_neighbors_tiled
+
+        return aggregate_neighbors_tiled(h, tiled, nbr_mask, op)
     if symmetric:
         return _agg_symmetric(h, nbr, nbr_mask, op, impl)
     return _agg_fwd_impl(h, nbr, nbr_mask, op, impl)

@@ -45,8 +45,10 @@ __all__ = [
 # Node-count buckets: static shapes for XLA. BraTS supervoxel graphs are ~5-7k nodes
 # (SURVEY §2.5); buckets cover synthetic/test sizes through full-scale graphs.
 NODE_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 6144, 8192, 12288, 16384)
-# Max-degree buckets (multiples of 8 = f32 sublane width).
-DEGREE_BUCKETS = (8, 16, 24, 32, 48, 64, 96, 128)
+# Max-degree buckets. 12 earns its slot: the default kNN graphs (k=10 with
+# regularity enforcement) have max degree 10-12, and aggregation cost scales
+# with the slot count.
+DEGREE_BUCKETS = (8, 12, 16, 24, 32, 48, 64, 96, 128)
 
 
 def bucket_size(n: int, buckets: Sequence[int]) -> int:
@@ -74,6 +76,9 @@ class GraphBatch:
     feats: jax.Array      # f32   [B, N, F]
     labels: jax.Array | None  # int32 [B, N] or None
     n_nodes: jax.Array    # int32 [B]
+    # optional tile-compaction tables for the Pallas aggregation kernels
+    # (ops/pallas/); None unless with_tiled_aux() has been called
+    tiled: object | None = None
 
     @property
     def batch_size(self) -> int:
@@ -94,6 +99,16 @@ class GraphBatch:
 
     def replace(self, **kw) -> "GraphBatch":
         return dataclasses.replace(self, **kw)
+
+    def with_tiled_aux(self, u_align: int = 128) -> "GraphBatch":
+        """Host-side: attach the tile-compaction tables used by impl='pallas'."""
+        if self.tiled is not None:
+            return self
+        from .pallas.tiling import build_tiled_aux
+
+        aux = build_tiled_aux(np.asarray(self.nbr), np.asarray(self.nbr_mask),
+                              u_align=u_align)
+        return self.replace(tiled=aux)
 
 
 def ell_from_edges(
@@ -223,11 +238,34 @@ def batch_graphs(
         )
     n_nodes = np.concatenate([np.asarray(g.n_nodes) for g in graphs])
     assert feats.shape == (len(graphs), n_pad, f_dim)
-    return GraphBatch(
+
+    tiled = None
+    if all(g.tiled is not None for g in graphs) and all(
+        g.num_nodes_padded == n_pad and g.max_degree == d_pad for g in graphs
+    ):
+        from .pallas.tiling import TiledAux
+
+        u_pad = max(g.tiled.unique_budget for g in graphs)
+        uniq = np.concatenate([
+            np.pad(np.asarray(g.tiled.uniq),
+                   ((0, 0), (0, 0), (0, u_pad - g.tiled.unique_budget)))
+            for g in graphs
+        ])
+        lidx = np.concatenate([np.asarray(g.tiled.lidx) for g in graphs])
+        rslot = np.concatenate([np.asarray(g.tiled.rslot) for g in graphs])
+        tiled = TiledAux(uniq=jnp.asarray(uniq), lidx=jnp.asarray(lidx),
+                         rslot=jnp.asarray(rslot))
+
+    out = GraphBatch(
         nbr=jnp.asarray(nbr),
         nbr_mask=jnp.asarray(nbr_mask),
         node_mask=jnp.asarray(node_mask),
         feats=jnp.asarray(feats),
         labels=labels,
         n_nodes=jnp.asarray(n_nodes, dtype=np.int32),
+        tiled=tiled,
     )
+    if tiled is None and any(g.tiled is not None for g in graphs):
+        # inputs carried aux but bucket shapes diverged: rebuild on the batch
+        out = out.with_tiled_aux()
+    return out
