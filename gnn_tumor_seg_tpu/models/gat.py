@@ -65,8 +65,15 @@ def gat_conv_apply(
     attn_drop: float = 0.0,
     negative_slope: float = 0.2,
     rng=None,
+    impl: str | None = None,
 ) -> jax.Array:
-    """One GATConv layer. h: [B, N, F_in] -> [B, N, num_heads, out_feats]."""
+    """One GATConv layer. h: [B, N, F_in] -> [B, N, num_heads, out_feats].
+
+    impl='pallas' (requires graph.tiled) fetches the src attention terms with
+    the one-hot slot-gather kernel and computes the alpha-weighted combine as a
+    weighted-histogram MXU SpMM (ops/pallas/weighted_sum.py) — no per-edge
+    feature rows are ever materialized.
+    """
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
     h_in = h
     h = _dropout(h, feat_drop, rngs[0])
@@ -75,8 +82,15 @@ def gat_conv_apply(
     el = jnp.einsum("bnhf,hf->bnh", z, params["attn_l"])
     er = jnp.einsum("bnhf,hf->bnh", z, params["attn_r"])
 
-    gather = jax.vmap(lambda x, idx: x[idx])          # over B
-    el_src = gather(el, graph.nbr)                    # [B, N, D, H]
+    use_pallas = impl == "pallas"
+    if use_pallas:
+        assert graph.tiled is not None, "impl='pallas' needs GraphBatch.with_tiled_aux()"
+        from ..ops.pallas.slot_gather import slot_gather
+
+        el_src = slot_gather(el, graph.tiled, graph.nbr_mask)   # [B, N, D, H]
+    else:
+        gather = jax.vmap(lambda x, idx: x[idx])      # over B
+        el_src = gather(el, graph.nbr)                # [B, N, D, H]
     e = jax.nn.leaky_relu(el_src + er[:, :, None, :], negative_slope)
     e = jnp.where(graph.nbr_mask[..., None] > 0, e, _NEG_LARGE)
     e = e - jax.lax.stop_gradient(jnp.max(e, axis=2, keepdims=True))
@@ -85,9 +99,15 @@ def gat_conv_apply(
     alpha = w / jnp.maximum(denom, 1e-20)             # [B, N, D, H]
     alpha = _dropout(alpha, attn_drop, rngs[1])
 
-    z_src = gather(z.reshape(B, N, num_heads * out_feats), graph.nbr)
-    z_src = z_src.reshape(B, N, -1, num_heads, out_feats)
-    out = jnp.einsum("bndh,bndhf->bnhf", alpha, z_src)
+    if use_pallas:
+        from ..ops.pallas.weighted_sum import tiled_weighted_sum
+
+        out = tiled_weighted_sum(z, alpha, graph.tiled, graph.nbr_mask)
+    else:
+        gather = jax.vmap(lambda x, idx: x[idx])
+        z_src = gather(z.reshape(B, N, num_heads * out_feats), graph.nbr)
+        z_src = z_src.reshape(B, N, -1, num_heads, out_feats)
+        out = jnp.einsum("bndh,bndhf->bnhf", alpha, z_src)
 
     if residual:
         if "w_res" in params:
@@ -161,6 +181,7 @@ class GAT:
                 attn_drop=self.attn_drop if train else 0.0,
                 negative_slope=self.negative_slope,
                 rng=rngs[i],
+                impl=impl,
             )
             B, N = out.shape[:2]
             if last:
