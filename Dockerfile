@@ -1,0 +1,30 @@
+# Containerized single-MRI prediction (the deployment contract the reference
+# README describes but never ships — /root/reference/README.md:127-173):
+#   input : /input/*_{flair,t1,t1ce,t2}.nii.gz  (one co-registered MRI)
+#   output: /output/<id>.nii.gz                 (BraTS-labelled segmentation)
+#
+# Build:  docker build -t gnn-tumor-seg-tpu .
+# Run:    docker run --rm -v /path/to/mri:/input -v /path/to/out:/output \
+#             gnn-tumor-seg-tpu
+# Weights are baked in from weights/ (gnn.ckpt, cnn.ckpt) — train them with the
+# pipeline CLIs and copy into weights/ before building.
+
+FROM python:3.12-slim
+
+RUN apt-get update && apt-get install -y --no-install-recommends g++ \
+    && rm -rf /var/lib/apt/lists/*
+
+RUN pip install --no-cache-dir "jax[cpu]" optax scipy numpy
+
+WORKDIR /app
+COPY gnn_tumor_seg_tpu/ gnn_tumor_seg_tpu/
+COPY native/ native/
+COPY weights/ weights/
+
+# pre-build the native preprocessing kernels
+RUN python native/build.py
+
+ENV PYTHONPATH=/app
+ENTRYPOINT ["python", "-m", "gnn_tumor_seg_tpu.cli.predict_single", \
+            "-i", "/input", "-o", "/output", \
+            "-g", "/app/weights/gnn.ckpt", "-c", "/app/weights/cnn.ckpt"]

@@ -60,7 +60,8 @@ def document_metrics(fp: str, description: str, results) -> None:
 
 def train_on_full_dataset(args, hp, progress_fp, dataset):
     print("Training on full dataset")
-    model = GNNTrainer(args.model_type, hp, dataset)
+    model = GNNTrainer(args.model_type, hp, dataset,
+                       impl=getattr(args, "impl", None))
     folds.train_on_fold(model, args.output_dir + os.sep, hp.n_epochs,
                         args.run_name, 1, log_fp=progress_fp + ".jsonl")
     document_metrics(progress_fp, f"{args.run_name}_full", model.evaluate(dataset))
@@ -73,7 +74,8 @@ def run_k_fold_val(args, hp, progress_fp, dataset, k):
         train_idx = list(range(0, s)) + list(range(e, len(dataset)))
         train_view = _SubsetView(dataset, train_idx)
         print(f"Fold contains {len(train_view)} examples")
-        model = GNNTrainer(args.model_type, hp, train_view)
+        model = GNNTrainer(args.model_type, hp, train_view,
+                           impl=getattr(args, "impl", None))
         fold = fold_idx + 1
         folds.train_on_fold(model, args.output_dir + os.sep, hp.n_epochs,
                             args.run_name, fold, log_fp=progress_fp + ".jsonl")
@@ -95,11 +97,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="k-fold validation folds; 1 = train on full dataset")
     p.add_argument("-p", "--data_prefix", default="", type=str)
     p.add_argument("-x", "--random_hyperparams", action="store_true")
+    p.add_argument("--profile", default=None, type=str, metavar="DIR",
+                   help="capture a jax.profiler trace of training into DIR "
+                        "(view with TensorBoard / xprof)")
+    p.add_argument("--impl", default=None, type=str,
+                   help="aggregation impl: pallas (TPU default), dense, scan")
     return p
 
 
 def main(argv=None) -> None:
+    import contextlib
+
+    import jax
+
+    from ..runtime import enable_compilation_cache
+
     args = build_parser().parse_args(argv)
+    enable_compilation_cache()
     dataset = ImageGraphDataset(os.path.expanduser(args.data_dir),
                                 args.data_prefix, read_image=False,
                                 read_graph=True, read_label=True)
@@ -108,12 +122,15 @@ def main(argv=None) -> None:
     args.output_dir = os.path.expanduser(args.output_dir)
     progress_fp = os.path.join(args.output_dir, f"{args.run_name}.txt")
     folds.create_run_progress_file(progress_fp, args.model_type, hp)
-    if args.num_folds == 1:
-        train_on_full_dataset(args, hp, progress_fp, dataset)
-    elif args.num_folds > 1:
-        run_k_fold_val(args, hp, progress_fp, dataset, args.num_folds)
-    else:
-        raise ValueError("Number of folds must be a positive integer")
+    profiler = (jax.profiler.trace(os.path.expanduser(args.profile))
+                if args.profile else contextlib.nullcontext())
+    with profiler:
+        if args.num_folds == 1:
+            train_on_full_dataset(args, hp, progress_fp, dataset)
+        elif args.num_folds > 1:
+            run_k_fold_val(args, hp, progress_fp, dataset, args.num_folds)
+        else:
+            raise ValueError("Number of folds must be a positive integer")
 
 
 if __name__ == "__main__":

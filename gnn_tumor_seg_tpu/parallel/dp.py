@@ -72,6 +72,8 @@ class ParallelGNNTrainer(GNNTrainer):
         # note: self.mesh is set before super().__init__ runs, so it is visible
         # here even though the parent constructor triggers this build.
         model, cw, tx, mesh = self.model, self.class_weights, self._tx, self.mesh
+        impl = self.impl
+        scan_middle = getattr(model, "num_layers", 0) >= 4
         ds = NamedSharding(mesh, P("data"))
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -84,7 +86,10 @@ class ParallelGNNTrainer(GNNTrainer):
             )
 
             def loss_fn(params):
-                logits = model.apply(params, graph, train=True, rng=rng)
+                logits = model.apply(params, graph, train=True, rng=rng,
+                                     impl=impl,
+                                     **({"scan_middle": scan_middle}
+                                        if hasattr(model, "aggregator") else {}))
                 return weighted_cross_entropy(logits, graph.labels, cw, graph.node_mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -79,8 +79,10 @@ def train_on_fold(model, checkpoint_dir: str, n_epochs: int, run_name: str,
         print(f"____Epoch {i}_____")
         print(epoch_loss)
         if log_fp:
-            log_jsonl(log_fp, {"event": "epoch", "run": run_name, "fold": fold,
-                               "epoch": i, "loss": epoch_loss, "seconds": dt})
+            record = {"event": "epoch", "run": run_name, "fold": fold,
+                      "epoch": i, "loss": epoch_loss, "seconds": dt}
+            record.update(getattr(model, "last_epoch_stats", {}))
+            log_jsonl(log_fp, record)
         if i > n_epochs / 2 and epoch_loss > lowest_loss + 0.001:
             print("Fold terminated early due to converged train loss")
             print(f"Ran for {i} epochs")

@@ -47,10 +47,15 @@ def _masked_copy(g: GraphBatch) -> GraphBatch:
 
 class GNNTrainer:
     def __init__(self, model_type: str, hp: HyperParams, train_data=None,
-                 seed: int = 0):
+                 seed: int = 0, impl: str | None = None):
         self.model_type = model_type
         self.hp = hp
         self.model = init_graph_net(model_type, hp)
+        # aggregation impl: the Pallas one-hot-MXU kernels on TPU (4x+ faster,
+        # see ops/pallas/), the dense XLA path elsewhere
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "dense"
+        self.impl = impl
         self.rng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
         self.params = self.model.init(key)
@@ -61,9 +66,14 @@ class GNNTrainer:
         self.train_data = train_data
         self._dropout_key = jax.random.PRNGKey(seed + 1)
         self._shape_budget = None
+        self._graph_cache: dict[int, GraphBatch] = {}
+        self._edge_counts: dict[int, int] = {}
+        self.last_epoch_stats: dict = {}
         if train_data is not None:
             self._shape_budget = self._compute_shape_budget(train_data)
         self._step = self._build_step()
+        # eval/predict run the dense path: per-brain B=1 forwards are cheap and
+        # need no tiling aux
         self._forward = jax.jit(
             lambda params, graph: self.model.apply(params, graph, train=False)
         )
@@ -82,12 +92,16 @@ class GNNTrainer:
 
     # ---------------------------------------------------------------- step
     def _build_step(self):
-        model, cw, tx = self.model, self.class_weights, self._tx
+        model, cw, tx, impl = self.model, self.class_weights, self._tx, self.impl
+        scan_middle = getattr(model, "num_layers", 0) >= 4
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state, graph: GraphBatch, rng):
             def loss_fn(params):
-                logits = model.apply(params, graph, train=True, rng=rng)
+                logits = model.apply(params, graph, train=True, rng=rng,
+                                     impl=impl,
+                                     **({"scan_middle": scan_middle}
+                                        if hasattr(model, "aggregator") else {}))
                 return weighted_cross_entropy(
                     logits, graph.labels, cw, graph.node_mask
                 )
@@ -98,6 +112,16 @@ class GNNTrainer:
 
         return step
 
+    def _get_graph(self, i: int) -> GraphBatch:
+        """Fetch + (for the Pallas impl) attach and cache tiling aux."""
+        if self.impl != "pallas":
+            return self.train_data.get_graph(i)
+        g = self._graph_cache.get(i)
+        if g is None:
+            g = self.train_data.get_graph(i).with_tiled_aux()
+            self._graph_cache[i] = g
+        return g
+
     # ---------------------------------------------------------------- epochs
     def run_epoch(self) -> float:
         """One shuffled pass over the training data; returns mean batch loss.
@@ -105,23 +129,43 @@ class GNNTrainer:
         LR decays per epoch via the epoch counter in the train state
         (reference: lr_decay.step() at `model/gnn_model.py:47`).
         """
+        import time
+
         assert self.train_data is not None, "trainer constructed without data"
         data = self.train_data
         bs = self.hp.batch_size
         order = self.rng.permutation(len(data))
         n_pad, d_pad = self._shape_budget
         losses = []
-        for start in range(0, len(order), bs):
+        edges = 0
+        t0 = time.perf_counter()
+        for step_i, start in enumerate(range(0, len(order), bs)):
             idxs = order[start:start + bs]
-            graphs = [data.get_graph(int(i)) for i in idxs]
+            graphs = []
+            for i in idxs:
+                g = self._get_graph(int(i))
+                graphs.append(g)
+                if int(i) not in self._edge_counts:
+                    self._edge_counts[int(i)] = int(jax.device_get(jnp.sum(g.nbr_mask)))
+                edges += self._edge_counts[int(i)]
             while len(graphs) < bs:  # pad remainder batch: same compiled shape
                 graphs.append(_masked_copy(graphs[0]))
             batch = batch_graphs(graphs, n_pad=n_pad, d_pad=d_pad)
             self._dropout_key, sub = jax.random.split(self._dropout_key)
-            self.state, loss = self._step(self.state, batch, sub)
+            with jax.profiler.StepTraceAnnotation("gnn_train_step", step_num=step_i):
+                self.state, loss = self._step(self.state, batch, sub)
             losses.append(loss)
+        mean_loss = float(np.mean([jax.device_get(l) for l in losses]))
+        dt = time.perf_counter() - t0  # device_get above synchronized
+        n_layers = getattr(self.model, "num_layers", 1)
+        self.last_epoch_stats = {
+            "seconds": dt,
+            "steps": len(losses),
+            "edges_per_s": edges * n_layers / max(dt, 1e-9),
+            "impl": self.impl,
+        }
         self.state = self.state.next_epoch()
-        return float(np.mean([jax.device_get(l) for l in losses]))
+        return mean_loss
 
     # ---------------------------------------------------------------- eval
     def predict_nodes(self, graph: GraphBatch) -> np.ndarray:
