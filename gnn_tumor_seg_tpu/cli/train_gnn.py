@@ -62,6 +62,10 @@ def train_on_full_dataset(args, hp, progress_fp, dataset):
     print("Training on full dataset")
     model = GNNTrainer(args.model_type, hp, dataset,
                        impl=getattr(args, "impl", None))
+    resume = getattr(args, "resume_from", None)
+    if resume:
+        print(f"Resuming from {resume}")
+        model.restore(os.path.expanduser(resume))
     folds.train_on_fold(model, args.output_dir + os.sep, hp.n_epochs,
                         args.run_name, 1, log_fp=progress_fp + ".jsonl")
     document_metrics(progress_fp, f"{args.run_name}_full", model.evaluate(dataset))
@@ -102,6 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(view with TensorBoard / xprof)")
     p.add_argument("--impl", default=None, type=str,
                    help="aggregation impl: pallas (TPU default), dense, scan")
+    p.add_argument("--resume_from", default=None, type=str,
+                   help="checkpoint to resume training from (params + optimizer "
+                        "state + epoch; full-dataset runs, -k 1)")
     return p
 
 

@@ -5,14 +5,18 @@ batched supervoxel graph is too big for one chip, its *nodes* are partitioned
 contiguously across devices; each device owns its nodes' features, computes their
 layer outputs, and fetches neighbor features from peer devices over ICI.
 
-Round-1 exchange strategy: a tiled all_gather of the (projected) node features
-inside shard_map — i.e. a full halo. Because SAGE-pool projects before
-aggregating (W_pool h), the gather moves already-projected features, and each
-device's matmuls run only on its node shard. A boundary-only
-ppermute exchange (send just the nodes that appear in remote neighbor lists,
-overlapped with local aggregation) is the planned refinement — the all_gather
-version pins the partitioned-numerics contract first: outputs must match the
-single-device forward exactly (tested).
+Two exchange strategies, both exactly matching single-device numerics (tested):
+
+  HaloGraphSage     — tiled all_gather of the (projected) node features inside
+                      shard_map: a full halo; works for any edge structure.
+  HaloGraphSageP2P  — boundary-only exchange: contiguous partitions of
+                      spatially ordered supervoxel graphs have 1-shard edge
+                      locality, so each device ppermutes just its 2*W boundary
+                      rows to its ring neighbors over ICI (W = measured halo
+                      width), instead of moving the whole table.
+
+Because SAGE-pool projects before aggregating (W_pool h), the exchange moves
+already-projected features, and each device's matmuls run only on its shard.
 
 The parameter pytrees are shared with models/sage.py:GraphSage, so the same
 checkpoint runs single-chip or partitioned.
@@ -32,7 +36,8 @@ from jax import shard_map
 from ..models.sage import GraphSage
 from ..train.losses import weighted_cross_entropy
 
-__all__ = ["PartitionedGraph", "partition_graph", "HaloGraphSage"]
+__all__ = ["PartitionedGraph", "partition_graph", "HaloGraphSage",
+           "partition_graph_p2p", "HaloGraphSageP2P"]
 
 _NEG_LARGE = -1e30
 
@@ -192,3 +197,143 @@ class HaloGraphSage:
         logits = self.apply(params, pg)
         return weighted_cross_entropy(logits, pg.labels, class_weights,
                                       pg.node_mask)
+
+
+# ---------------------------------------------------------------------------
+# Boundary-only (ppermute) halo exchange
+# ---------------------------------------------------------------------------
+
+
+def partition_graph_p2p(feats: np.ndarray, src: np.ndarray, dst: np.ndarray,
+                        labels: np.ndarray | None, n_parts: int):
+    """Contiguous node partition with *boundary-only* halo metadata.
+
+    Requires 1-shard locality: every edge connects nodes in the same or an
+    adjacent shard (true for spatially ordered supervoxel graphs partitioned
+    contiguously; raises ValueError otherwise — fall back to partition_graph's
+    full all_gather exchange). Returns (PartitionedGraph with nbr holding
+    *extended-buffer-local* indices, halo_width).
+
+    Extended buffer layout per shard s (inside the shard_map body):
+        [ last W rows of shard s-1 | own N_shard rows | first W rows of s+1 ]
+    so only 2*W boundary rows cross ICI per step instead of the whole table.
+    """
+    n = feats.shape[0]
+    per = -(-n // n_parts)
+    shard = -(-per // 8) * 8
+    total = shard * n_parts
+
+    shard_of = lambda i: i // per
+    off_of = lambda i: i % per
+
+    s_u, s_v = shard_of(src), shard_of(dst)
+    jump = np.abs(s_u - s_v)
+    if jump.max(initial=0) > 1:
+        raise ValueError(
+            "edges span non-adjacent shards; use partition_graph (all_gather)"
+        )
+    # halo width: deepest reach into a neighboring shard, from either side
+    right = s_u == s_v - 1   # dst needs a row from its LEFT neighbor: src at
+    left = s_u == s_v + 1    # high offsets; and vice versa
+    need = 1
+    if left.any():
+        need = max(need, int((off_of(src[left]) + 1).max()))
+    if right.any():
+        need = max(need, int((shard - off_of(src[right])).max()))
+    W = -(-need // 8) * 8
+    if W > shard:
+        raise ValueError("halo wider than a shard; use partition_graph")
+
+    deg = np.bincount(dst, minlength=n)
+    d_pad = -(-max(int(deg.max()), 1) // 8) * 8
+
+    def to_padded(i):
+        return (i // per) * shard + (i % per)
+
+    # extended-buffer-local index of src row, from the perspective of dst's shard
+    def to_local(s_dst, src_ids):
+        s_src = shard_of(src_ids)
+        o = off_of(src_ids)
+        same = W + o
+        from_right = W + shard + o
+        from_left = W - (shard - o)
+        return np.where(s_src == s_dst, same,
+                        np.where(s_src == s_dst + 1, from_right, from_left))
+
+    nbr = np.zeros((total, d_pad), np.int32)
+    mask = np.zeros((total, d_pad), np.float32)
+    order = np.argsort(dst, kind="stable")
+    s_sorted, d_sorted = src[order], dst[order]
+    slot = np.arange(len(d_sorted)) - np.repeat(
+        np.concatenate(([0], np.cumsum(deg)[:-1])), deg
+    )
+    rows = to_padded(d_sorted)
+    nbr[rows, slot] = to_local(shard_of(d_sorted), s_sorted)
+    mask[rows, slot] = 1.0
+    # padded slots self-reference so indices always stay in range
+    own_local = W + (np.arange(total) % shard)
+    pad_slots = mask == 0.0
+    nbr[pad_slots] = np.broadcast_to(own_local[:, None], nbr.shape)[pad_slots]
+
+    feats_p = np.zeros((total, feats.shape[1]), np.float32)
+    feats_p[to_padded(np.arange(n))] = feats
+    node_mask = np.zeros((total,), np.float32)
+    node_mask[to_padded(np.arange(n))] = 1.0
+    labels_p = None
+    if labels is not None:
+        lp = np.full((total,), -1, np.int32)
+        lp[to_padded(np.arange(n))] = labels
+        labels_p = jnp.asarray(lp.reshape(n_parts, shard))
+    pg = PartitionedGraph(
+        nbr=jnp.asarray(nbr.reshape(n_parts, shard, d_pad)),
+        nbr_mask=jnp.asarray(mask.reshape(n_parts, shard, d_pad)),
+        node_mask=jnp.asarray(node_mask.reshape(n_parts, shard)),
+        feats=jnp.asarray(feats_p.reshape(n_parts, shard, feats.shape[1])),
+        labels=labels_p,
+    )
+    return pg, W
+
+
+class HaloGraphSageP2P(HaloGraphSage):
+    """GraphSage over a p2p-partitioned graph: per layer, each device exchanges
+    only its 2*W boundary rows with its ring neighbors via ppermute (ICI),
+    instead of all-gathering the whole (projected) feature table. Numerics are
+    identical to HaloGraphSage / single-device execution (tested)."""
+
+    def __init__(self, in_feats, layer_sizes, n_classes, aggregator,
+                 mesh: Mesh, halo_width: int, axis: str = "data"):
+        super().__init__(in_feats, layer_sizes, n_classes, aggregator, mesh,
+                         axis=axis)
+        self.halo_width = halo_width
+
+    def _extend(self, h, axis):
+        """[N_shard, F] -> [W + N_shard + W, F] via two ring ppermutes."""
+        W = self.halo_width
+        n_dev = jax.lax.axis_size(axis)
+        # receive the left neighbor's LAST W rows, and the right's FIRST W
+        from_left = jax.lax.ppermute(
+            h[-W:], axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        from_right = jax.lax.ppermute(
+            h[:W], axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        return jnp.concatenate([from_left, h, from_right], axis=0)
+
+    def _layer(self, lp, h, nbr, mask, axis, last):
+        agg = self.aggregator
+        if agg == "pool":
+            p = jax.nn.relu(h @ lp["w_pool"] + lp["b_pool"])
+            ext = self._extend(p, axis)                  # boundary-only halo
+            mx = _gather_reduce(ext, nbr, mask, "max")
+            out = h @ lp["w_self"] + mx @ lp["w_neigh"]
+        elif agg == "mean":
+            ext = self._extend(h, axis)
+            hn = _gather_reduce(ext, nbr, mask, "mean")
+            out = h @ lp["w_self"] + hn @ lp["w_neigh"]
+        else:  # gcn
+            ext = self._extend(h, axis)
+            s = _gather_reduce(ext, nbr, mask, "sum")
+            deg = jnp.sum(mask, axis=-1, keepdims=True)
+            out = ((s + h) / (deg + 1.0)) @ lp["w_neigh"]
+        out = out + lp["bias"]
+        return out if last else jax.nn.relu(out)

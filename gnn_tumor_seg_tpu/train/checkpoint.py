@@ -73,6 +73,19 @@ def save_checkpoint(
             os.unlink(tmp)
 
 
+def load_opt_state(path: str, opt_state_template: Any):
+    """Restore the optimizer state saved alongside params, or None if the
+    checkpoint was saved without one."""
+    with np.load(path) as z:
+        manifest = json.loads(bytes(z[_MANIFEST_KEY].tobytes()).decode())
+        n_opt = manifest.get("n_opt")
+        if not n_opt:
+            return None
+        leaves = [z[f"o/{i}"] for i in range(n_opt)]
+    treedef = jax.tree_util.tree_structure(opt_state_template)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def load_checkpoint(path: str, params_template: Any = None):
     """Returns (params, model_type, HyperParams, manifest).
 

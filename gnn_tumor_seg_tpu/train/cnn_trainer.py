@@ -152,11 +152,31 @@ class CNNTrainer:
         return np.asarray(self._forward(self.state.params, x))
 
     # ------------------------------------------------------------------ io
-    def save_weights(self, folder: str, name: str) -> None:
+    def save_weights(self, folder: str, name: str,
+                     include_opt_state: bool = True) -> None:
         save_checkpoint(
             f"{folder}{name}.ckpt", self.state.params, "CNN", self.hp,
+            opt_state=self.state.opt_state if include_opt_state else None,
             extra={"epoch": int(self.state.epoch)},
         )
 
     def load_params(self, params) -> None:
         self.state = dataclasses.replace(self.state, params=params)
+
+    def restore(self, path: str) -> None:
+        """Resume params + optimizer + epoch (see GNNTrainer.restore)."""
+        import jax.numpy as jnp
+
+        from .checkpoint import load_checkpoint, load_opt_state
+
+        params, model_type, _, manifest = load_checkpoint(path, self.state.params)
+        assert model_type == "CNN", model_type
+        self.state = dataclasses.replace(self.state, params=params)
+        opt = load_opt_state(path, self.state.opt_state)
+        if opt is not None:
+            self.state = dataclasses.replace(self.state, opt_state=opt)
+        epoch = manifest.get("extra", {}).get("epoch")
+        if epoch is not None:
+            self.state = dataclasses.replace(
+                self.state, epoch=jnp.asarray(epoch, jnp.int32)
+            )

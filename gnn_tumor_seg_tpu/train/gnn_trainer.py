@@ -210,12 +210,17 @@ class GNNTrainer:
         return np.mean(metrics, axis=0), np.sum(counts, axis=0)
 
     # ---------------------------------------------------------------- io
-    def save_weights(self, folder: str, name: str) -> None:
+    def save_weights(self, folder: str, name: str,
+                     include_opt_state: bool = True) -> None:
+        """Checkpoint with embedded config and (by default) optimizer state +
+        epoch counter, enabling exact training resume — which the reference's
+        bare state_dicts cannot do (SURVEY §5.4)."""
         save_checkpoint(
             f"{folder}{name}.ckpt",
             self.state.params,
             self.model_type,
             self.hp,
+            opt_state=self.state.opt_state if include_opt_state else None,
             extra={"epoch": int(self.state.epoch)},
         )
 
@@ -223,3 +228,34 @@ class GNNTrainer:
         import dataclasses
 
         self.state = dataclasses.replace(self.state, params=params)
+
+    def restore(self, path: str) -> None:
+        """Resume training state (params + optimizer + epoch) from a checkpoint
+        saved with include_opt_state=True; params-only checkpoints restore
+        weights and reset the optimizer."""
+        import dataclasses
+
+        from .checkpoint import load_checkpoint, load_opt_state
+
+        params, model_type, hp, manifest = load_checkpoint(path, self.state.params)
+        assert model_type == self.model_type, (model_type, self.model_type)
+        self.state = dataclasses.replace(self.state, params=params)
+        opt = load_opt_state(path, self.state.opt_state)
+        if opt is not None:
+            self.state = dataclasses.replace(self.state, opt_state=opt)
+        epoch = manifest.get("extra", {}).get("epoch")
+        if epoch is not None:
+            self.state = dataclasses.replace(
+                self.state, epoch=jnp.asarray(epoch, jnp.int32)
+            )
+
+    @classmethod
+    def from_checkpoint(cls, path: str, train_data=None, seed: int = 0,
+                        impl: str | None = None) -> "GNNTrainer":
+        """Reconstruct a trainer entirely from a checkpoint's embedded config."""
+        from .checkpoint import load_checkpoint
+
+        _, model_type, hp, _ = load_checkpoint(path)
+        trainer = cls(model_type, hp, train_data, seed=seed, impl=impl)
+        trainer.restore(path)
+        return trainer

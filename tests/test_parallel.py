@@ -96,3 +96,80 @@ def test_halo_loss_and_grads_match_single_device():
     assert abs(float(l1) - float(l2)) < 1e-5
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("agg", ["mean", "pool"])
+def test_halo_p2p_matches_single_device(agg):
+    """Boundary-only ppermute halo == single-device numerics. Graph built with
+    1-shard locality (ring-ish structure)."""
+    from gnn_tumor_seg_tpu.parallel.halo import HaloGraphSageP2P, partition_graph_p2p
+
+    n = 128
+    rng = np.random.default_rng(12)
+    # local edges only: i <-> i+1..i+3 (non-wrapping, keeps 1-shard locality)
+    src_l, dst_l = [], []
+    for off in (1, 2, 3):
+        a = np.arange(0, n - off)
+        src_l += [a, a + off]
+        dst_l += [a + off, a]
+    src = np.concatenate(src_l).astype(np.int32)
+    dst = np.concatenate(dst_l).astype(np.int32)
+    feats = rng.normal(size=(n, 12)).astype(np.float32)
+    labels = rng.integers(0, 4, n).astype(np.int32)
+
+    g = graph_from_arrays(feats, src, dst, labels)
+    model = GraphSage(12, [16, 16], 4, agg)
+    params = model.init(jax.random.PRNGKey(5))
+    want = np.asarray(model.apply(params, g))[0][:n]
+
+    mesh = make_mesh(8, 1)
+    pg, W = partition_graph_p2p(feats, src, dst, labels, n_parts=8)
+    halo = HaloGraphSageP2P(12, [16, 16], 4, agg, mesh, halo_width=W)
+    got = np.asarray(jax.jit(halo.apply)(params, pg))
+    per = -(-n // 8)
+    got_real = np.concatenate(
+        [got[s][: min(per, n - s * per)] for s in range(8) if s * per < n]
+    )
+    np.testing.assert_allclose(got_real, want, rtol=2e-4, atol=2e-4)
+
+
+def test_halo_p2p_grads_match_all_gather():
+    from gnn_tumor_seg_tpu.parallel.halo import (HaloGraphSage, HaloGraphSageP2P,
+                                                 partition_graph,
+                                                 partition_graph_p2p)
+
+    n = 96
+    rng = np.random.default_rng(13)
+    src_l, dst_l = [], []
+    for off in (1, 2):
+        a = np.arange(0, n - off)
+        src_l += [a, a + off]
+        dst_l += [a + off, a]
+    src = np.concatenate(src_l).astype(np.int32)
+    dst = np.concatenate(dst_l).astype(np.int32)
+    feats = rng.normal(size=(n, 8)).astype(np.float32)
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    cw = jnp.asarray([0.1, 1, 2, 2])
+
+    mesh = make_mesh(8, 1)
+    model_ag = HaloGraphSage(8, [16], 4, "pool", mesh)
+    params = model_ag.init(jax.random.PRNGKey(6))
+    pg_ag = partition_graph(feats, src, dst, labels, n_parts=8)
+    pg_p2p, W = partition_graph_p2p(feats, src, dst, labels, n_parts=8)
+    model_p2p = HaloGraphSageP2P(8, [16], 4, "pool", mesh, halo_width=W)
+
+    l1, g1 = jax.value_and_grad(lambda p: model_ag.loss(p, pg_ag, cw))(params)
+    l2, g2 = jax.value_and_grad(lambda p: model_p2p.loss(p, pg_p2p, cw))(params)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_halo_p2p_rejects_nonlocal_edges():
+    from gnn_tumor_seg_tpu.parallel.halo import partition_graph_p2p
+
+    feats = np.zeros((64, 4), np.float32)
+    src = np.array([0, 63], np.int32)
+    dst = np.array([63, 0], np.int32)  # spans shard 0 -> shard 7
+    with pytest.raises(ValueError):
+        partition_graph_p2p(feats, src, dst, None, n_parts=8)

@@ -150,3 +150,41 @@ def test_train_on_fold_checkpoints_and_early_stops(tmp_path):
     m = FakeModel([3.0, 2.0, 1.0, 5.0, 5.0, 5.0])
     folds.train_on_fold(m, str(tmp_path), 6, "r", 1)
     assert m.saved == ["r_f1"] * 3  # checkpoints each improvement, then early-stop
+
+
+def test_resume_exact_continuation(tmp_path):
+    """Train 4 epochs straight vs 2 + checkpoint + restore + 2: identical
+    params (full-batch so data order is irrelevant; dropout 0)."""
+    data = SyntheticGraphDataset(n_samples=4, grid=4, seed=6)
+    hp = small_hp(batch_size=4)
+
+    straight = GNNTrainer("GSpool", hp, data, seed=0)
+    for _ in range(4):
+        straight.run_epoch()
+
+    first = GNNTrainer("GSpool", hp, data, seed=0)
+    first.run_epoch()
+    first.run_epoch()
+    first.save_weights(str(tmp_path) + "/", "mid")
+
+    resumed = GNNTrainer.from_checkpoint(str(tmp_path / "mid.ckpt"), data, seed=0)
+    assert int(resumed.state.epoch) == 2  # LR schedule continues
+    resumed.run_epoch()
+    resumed.run_epoch()
+
+    for a, b in zip(jax.tree_util.tree_leaves(straight.state.params),
+                    jax.tree_util.tree_leaves(resumed.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_restore_params_only_checkpoint(tmp_path):
+    data = SyntheticGraphDataset(n_samples=2, grid=4, seed=7)
+    hp = small_hp()
+    t = GNNTrainer("GSmean", hp, data, seed=0)
+    t.run_epoch()
+    t.save_weights(str(tmp_path) + "/", "po", include_opt_state=False)
+    t2 = GNNTrainer("GSmean", hp, data, seed=1)
+    t2.restore(str(tmp_path / "po.ckpt"))  # resets optimizer, keeps params
+    for a, b in zip(jax.tree_util.tree_leaves(t.state.params),
+                    jax.tree_util.tree_leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
