@@ -219,6 +219,39 @@ def batch_graphs(
     f_dim = graphs[0].feats.shape[-1]
     has_labels = graphs[0].labels is not None
 
+    # fast path: every graph already sits at the target buckets (the common
+    # case in training, where the dataset pins a shape budget) -> concatenate
+    # on-device, no host round-trip per step
+    if all(g.num_nodes_padded == n_pad and g.max_degree == d_pad
+           for g in graphs):
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        tiled = None
+        if all(g.tiled is not None for g in graphs):
+            from .pallas.tiling import TiledAux
+
+            # differing unique budgets pad on-device: extra uniq entries point
+            # at row 0, which no lidx slot references — harmless
+            u_max = max(g.tiled.unique_budget for g in graphs)
+            pad_u = lambda x: jnp.pad(x, ((0, 0), (0, 0),
+                                          (0, u_max - x.shape[2])))
+            tiled = TiledAux(
+                uniq=cat([pad_u(g.tiled.uniq) for g in graphs]),
+                lidx=cat([g.tiled.lidx for g in graphs]),
+                rslot=cat([g.tiled.rslot for g in graphs]),
+            )
+        out = GraphBatch(
+            nbr=cat([g.nbr for g in graphs]),
+            nbr_mask=cat([g.nbr_mask for g in graphs]),
+            node_mask=cat([g.node_mask for g in graphs]),
+            feats=cat([g.feats for g in graphs]),
+            labels=(cat([g.labels for g in graphs]) if has_labels else None),
+            n_nodes=cat([g.n_nodes for g in graphs]),
+            tiled=tiled,
+        )
+        if tiled is None and any(g.tiled is not None for g in graphs):
+            out = out.with_tiled_aux()
+        return out
+
     def pad_to(x, n, d=None, fill=0):
         x = np.asarray(x)
         pads = [(0, 0)] * x.ndim

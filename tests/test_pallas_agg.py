@@ -142,3 +142,18 @@ def test_gat_model_pallas_parity():
     gr2 = jax.grad(lambda p: (m.apply(p, g, impl="pallas") ** 2).sum())(p)
     for a, b in zip(jax.tree_util.tree_leaves(gr1), jax.tree_util.tree_leaves(gr2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-2, atol=2e-2)
+
+
+def test_sddmm_matches_dense():
+    from gnn_tumor_seg_tpu.ops.sddmm import sddmm
+
+    g = _batch(seed=14)
+    rng = np.random.default_rng(15)
+    B, N, D = g.nbr.shape
+    H, F = 2, 16
+    a = jnp.asarray(rng.normal(size=(B, N, H, F)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(B, N, H, F)).astype(np.float32))
+    want = sddmm(a, c, g.nbr, g.nbr_mask)
+    got = sddmm(a, c, g.nbr, g.nbr_mask, impl="pallas", tiled=g.tiled)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-3, atol=3e-3)
