@@ -51,7 +51,9 @@ class HyperParams:
     gat_heads: list | None = None
     gat_residuals: list | None = None
     batch_size: int = 6          # graphs per GNN step (model/gnn_model.py:12)
-    compute_dtype: str = "float32"   # "bfloat16" enables MXU-native low precision
+    # note: no compute_dtype knob — measured on v5e, XLA already runs f32
+    # matmuls at bf16 MXU throughput and the Pallas kernels are bf16 hi/lo
+    # internally, so a global bf16 mode would change numerics for no speedup
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

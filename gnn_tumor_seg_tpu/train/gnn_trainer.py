@@ -122,6 +122,23 @@ class GNNTrainer:
             self._graph_cache[i] = g
         return g
 
+    def _start_prefetch(self, order) -> None:
+        """Warm the graph cache (disk IO + tiling aux) in a background thread
+        so host-side loading overlaps device compute on the first epoch."""
+        if self.impl != "pallas" or len(self._graph_cache) >= len(order):
+            return
+        import threading
+
+        def warm():
+            for i in order:
+                try:
+                    self._get_graph(int(i))
+                except Exception:
+                    return  # the consuming loop will surface the real error
+
+        t = threading.Thread(target=warm, daemon=True)
+        t.start()
+
     # ---------------------------------------------------------------- epochs
     def run_epoch(self) -> float:
         """One shuffled pass over the training data; returns mean batch loss.
@@ -135,6 +152,7 @@ class GNNTrainer:
         data = self.train_data
         bs = self.hp.batch_size
         order = self.rng.permutation(len(data))
+        self._start_prefetch(order)
         n_pad, d_pad = self._shape_budget
         losses = []
         edges = 0

@@ -226,3 +226,50 @@ def test_networkx_json_reference_compatible(tmp_path):
     # undirected edge count: each pair once
     non_loop = (s.src != s.dst).sum() // 2 + (s.src == s.dst).sum()
     assert G.number_of_edges() == non_loop
+
+
+# --------------------------------------------------------------------- metrics
+def test_hd95_bbox_crop_is_exact():
+    """The union-bbox crop must not change HD95 (both surfaces lie inside)."""
+    from scipy import ndimage as ndi
+
+    from gnn_tumor_seg_tpu import evaluation as ev
+
+    rng = np.random.default_rng(20)
+    for trial in range(5):
+        a = np.zeros((60, 60, 40), bool)
+        b = np.zeros((60, 60, 40), bool)
+        ca, cb = rng.integers(15, 40, 3), rng.integers(15, 40, 3)
+        grid = np.stack(np.meshgrid(*[np.arange(s) for s in a.shape],
+                                    indexing="ij"), -1)
+        a[np.linalg.norm(grid - ca, axis=-1) < rng.integers(5, 12)] = True
+        b[np.linalg.norm(grid - cb, axis=-1) < rng.integers(5, 12)] = True
+
+        def no_crop_hd95(p, g):
+            d_pg = ev._surface_to_surface_distances(p, g)
+            d_gp = ev._surface_to_surface_distances(g, p)
+            return float(np.percentile(np.hstack((d_pg, d_gp)), 95))
+
+        assert abs(ev.hd95(a, b) - no_crop_hd95(a, b)) < 1e-9
+
+
+def test_hd95_fallback_constants():
+    from gnn_tumor_seg_tpu import evaluation as ev
+
+    empty = np.zeros((5, 5, 5), bool)
+    blob = np.zeros((5, 5, 5), bool)
+    blob[2, 2, 2] = True
+    assert ev.hd95_safe(empty, empty) == 0.0
+    assert ev.hd95_safe(blob, empty) == 300.0
+    assert ev.hd95_safe(empty, blob) == 300.0
+    assert ev.hd95_safe(blob, blob) == 0.0
+
+
+def test_dice_empty_case_and_accuracy():
+    from gnn_tumor_seg_tpu import evaluation as ev
+
+    assert ev.dice_binary(np.zeros(5), np.zeros(5)) == 1.0
+    pred = np.array([0, 1, 2, 3])
+    gt = np.array([0, 1, 2, 2])
+    assert ev.compute_accuracy(pred, gt) == 0.75
+    assert ev.compute_accuracy(pred, gt, include_healthy=False) == pytest.approx(2 / 3)
