@@ -116,6 +116,22 @@ class ImageGraphDataset:
     def get_crop(self, mri_id: str):
         return tuple(np.load(self._fp(mri_id, "_crop.npy"), allow_pickle=True))
 
+    # familiar container protocol (reference: data_loader.py:104-114)
+    def __getitem__(self, index: int):
+        mri_id = self.ids[index]
+        out = [mri_id]
+        if self.read_graph:
+            out.append(self.get_graph(index))
+        if self.read_image:
+            out.append(self.get_image(mri_id))
+            if self.read_label:
+                out.append(self.get_voxel_labels(mri_id))
+        return tuple(out)
+
+    def __iter__(self):
+        for i in range(len(self.ids)):
+            yield self[i]
+
     def get_orig_shape(self, mri_id: str) -> tuple:
         """Original raw-volume shape; falls back to the BraTS standard shape for
         datasets preprocessed by the reference pipeline (no _meta.json)."""

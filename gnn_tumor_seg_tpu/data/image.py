@@ -57,10 +57,29 @@ def uncrop_to_brats_size(crop, voxel_preds: np.ndarray, shape=BRATS_SHAPE) -> np
     return full
 
 
+def _fast_quantile_per_channel(img: np.ndarray, q: float) -> np.ndarray:
+    """np.partition-based per-channel quantile (linear interpolation) — O(n)
+    instead of np.quantile's full sort (~14s on a full brain volume)."""
+    flat = img.reshape(-1, img.shape[-1])
+    m = flat.shape[0]
+    pos = (m - 1) * q
+    lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+    frac = pos - lo
+    out = np.empty(img.shape[-1], np.float32)
+    for c in range(img.shape[-1]):
+        part = np.partition(flat[:, c], [lo, hi])
+        out[c] = part[lo] * (1 - frac) + part[hi] * frac
+    return out
+
+
 def normalize_img(img: np.ndarray, is_flat: bool = False) -> np.ndarray:
     """Scale each modality by its 0.995 quantile (`image_processing.py:45-51`)."""
-    axis = 0 if is_flat else (0, 1, 2)
-    maxes = np.quantile(img, 0.995, axis=axis).astype(np.float32)
+    if img.ndim >= 2:
+        maxes = _fast_quantile_per_channel(
+            img if is_flat else img.reshape(-1, img.shape[-1]), 0.995
+        )
+    else:
+        maxes = np.quantile(img, 0.995).astype(np.float32)
     return img / maxes
 
 

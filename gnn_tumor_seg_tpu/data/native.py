@@ -14,7 +14,7 @@ import numpy as np
 
 __all__ = ["available", "slic3d_native", "segment_quantiles_native",
            "segment_mode_native", "segment_centroids_native",
-           "enforce_connectivity_native"]
+           "enforce_connectivity_native", "knn_regular_native"]
 
 _LIB = None
 _TRIED = False
@@ -54,6 +54,8 @@ def _lib():
     lib.slic3d.argtypes = [f32p, i64, i64, i64, i64, i32, i32, i32,
                            ctypes.c_double, ctypes.c_double, i32, i32p]
     lib.enforce_connectivity.argtypes = [i32p, i64, i64, i64, i32]
+    lib.knn_regular.argtypes = [f32p, i64, i32, i32p, i32p, i64]
+    lib.knn_regular.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -103,6 +105,21 @@ def slic3d_native(image: np.ndarray, gx: int, gy: int, gz: int,
     lib.slic3d(image.reshape(-1), X, Y, Z, C, gx, gy, gz, inv_m2, inv_s2,
                iters, out)
     return out.reshape(X, Y, Z)
+
+
+def knn_regular_native(centroids: np.ndarray, k: int):
+    """Greedy symmetric k-regular kNN edges; same semantics as the numpy
+    knn_adjacency_edges(enforce_regularity=True) (parity-tested)."""
+    lib = _lib()
+    centroids = np.ascontiguousarray(centroids, np.float32)
+    n = len(centroids)
+    cap = 4 * n * (k + 8)
+    src = np.empty(cap, np.int32)
+    dst = np.empty(cap, np.int32)
+    written = lib.knn_regular(centroids, n, k, src, dst, cap)
+    if written < 0:
+        raise RuntimeError("knn_regular edge buffer overflow")
+    return src[:written].copy(), dst[:written].copy()
 
 
 def enforce_connectivity_native(labels: np.ndarray) -> np.ndarray:

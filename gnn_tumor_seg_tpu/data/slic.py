@@ -159,8 +159,10 @@ def slic_supervoxels(
 
 
 def _relabel_contiguous(labels: np.ndarray) -> np.ndarray:
-    uniq, inv = np.unique(labels, return_inverse=True)
-    return inv.reshape(labels.shape).astype(np.int32)
+    # O(n) bincount remap (np.unique's sort costs ~9s on a 240^3 volume)
+    counts = np.bincount(labels.reshape(-1))
+    remap = np.cumsum(counts > 0).astype(np.int32) - 1
+    return remap[labels]
 
 
 def _enforce_connectivity(labels: np.ndarray, min_size: int,

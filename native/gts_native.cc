@@ -313,3 +313,65 @@ void enforce_connectivity(int32_t* labels, int64_t X, int64_t Y, int64_t Z,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// regular kNN adjacency
+// ---------------------------------------------------------------------------
+
+// Greedy symmetric k-regular adjacency over centroids (the reference's
+// enforce_regularity construction, mri2graph/graphgen.py:120-135, re-done in
+// C++): process nodes in index order; each node tops up its degree to k with
+// its nearest not-yet-linked higher-index neighbors; edges are symmetric.
+// centroids: [n, 3] f32. Writes up to max_edges (src, dst) int32 pairs (both
+// directions); returns the number written, or -1 if max_edges was too small.
+extern "C" int64_t knn_regular(const float* centroids, int64_t n, int32_t k,
+                               int32_t* src_out, int32_t* dst_out,
+                               int64_t max_edges) {
+  std::vector<std::vector<int32_t>> adj(n);
+  std::vector<float> dist(n);
+  std::vector<int32_t> cand;
+  cand.reserve(n);
+  int64_t written = 0;
+
+  // distance row computed on the fly (no n^2 matrix held)
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t deficit = k - (int32_t)adj[i].size();
+    if (deficit <= 0) continue;
+    const float* ci = centroids + i * 3;
+#pragma omp parallel for schedule(static)
+    for (int64_t j = 0; j < n; ++j) {
+      const float* cj = centroids + j * 3;
+      float dx = ci[0] - cj[0], dy = ci[1] - cj[1], dz = ci[2] - cj[2];
+      dist[j] = dx * dx + dy * dy + dz * dz;
+    }
+    cand.clear();
+    for (int64_t j = i + 1; j < n; ++j) {
+      bool linked = false;
+      for (int32_t v : adj[i])
+        if (v == j) { linked = true; break; }
+      if (!linked) cand.push_back((int32_t)j);
+    }
+    int32_t take = std::min<int32_t>(deficit, (int32_t)cand.size());
+    std::partial_sort(cand.begin(), cand.begin() + take, cand.end(),
+                      [&](int32_t a, int32_t b) {
+                        if (dist[a] != dist[b]) return dist[a] < dist[b];
+                        return a < b;
+                      });
+    for (int32_t t = 0; t < take; ++t) {
+      int32_t j = cand[t];
+      adj[i].push_back(j);
+      adj[j].push_back((int32_t)i);
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    for (int32_t j : adj[i]) {
+      if (written >= max_edges) return -1;
+      // adj[i] holds i's neighbors; emit edge j -> i (dst-major like numpy's
+      // nonzero order is not required — caller builds ELL from the pair list)
+      src_out[written] = j;
+      dst_out[written] = (int32_t)i;
+      written++;
+    }
+  }
+  return written;
+}

@@ -57,3 +57,13 @@ def test_native_connectivity_enforced():
         _, ncomp = ndimage.label(labels == lab)
         assert ncomp == 1
     assert set(np.unique(labels)) == set(range(labels.max() + 1))
+
+
+def test_native_knn_matches_numpy():
+    from gnn_tumor_seg_tpu.data.graph_build import knn_adjacency_edges
+
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(120, 3)).astype(np.float32)
+    s1, d1 = knn_adjacency_edges(pts, 7, use_native=False)
+    s2, d2 = knn_adjacency_edges(pts, 7, use_native=True)
+    assert set(zip(s1.tolist(), d1.tolist())) == set(zip(s2.tolist(), d2.tolist()))
