@@ -51,14 +51,17 @@ def _gather_unique(x, uniq):
     return g.reshape(B, T, U, x.shape[-1])
 
 
-def _slot_gather_kernel(lidx_ref, mask_ref, g_ref, out_ref):
+def _slot_gather_kernel(lidx_ref, mask_ref, g_ref, out_ref, *, W):
+    # out block is [TN, D*W] (slots flattened into lanes): contiguous writes;
+    # tiny-W trailing output dims lower terribly on TPU (measured ~17 ms/layer)
     TN, D = lidx_ref.shape[2], lidx_ref.shape[3]
-    U, W = g_ref.shape[2], g_ref.shape[3]
+    U = g_ref.shape[2]
     lidx = lidx_ref[0, 0]
     mask = mask_ref[0, 0]
     g = g_ref[0, 0]
     g_hi, g_lo = _hi_lo(g)
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (TN, U), 1)
+    cols = []
     for d in range(D):
         oh = ((iota_u == lidx[:, d:d + 1]) &
               (mask[:, d:d + 1] > 0)).astype(jnp.bfloat16)
@@ -66,17 +69,20 @@ def _slot_gather_kernel(lidx_ref, mask_ref, g_ref, out_ref):
                        precision=jax.lax.Precision.DEFAULT)
                + jnp.dot(oh, g_lo, preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.DEFAULT))
-        out_ref[0, :, d, :] = row
+        cols.append(row)
+    out_ref[0] = jnp.concatenate(cols, axis=1)
 
 
 def _slot_gather_raw(x, aux: TiledAux, nbr_mask):
+    import functools
+
     B, N, W = x.shape
     T, U = aux.num_tiles, aux.unique_budget
     D = aux.lidx.shape[-1]
     g = _gather_unique(x, aux.uniq)
     mask_t = nbr_mask.reshape(B, T, TILE_N, D)
-    return pl.pallas_call(
-        _slot_gather_kernel,
+    out = pl.pallas_call(
+        functools.partial(_slot_gather_kernel, W=W),
         grid=(B, T),
         in_specs=[
             pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
@@ -86,11 +92,12 @@ def _slot_gather_raw(x, aux: TiledAux, nbr_mask):
             pl.BlockSpec((1, 1, U, W), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_N, D, W), lambda b, t: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((1, TILE_N, D * W), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, D, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, N, D * W), jnp.float32),
         interpret=_interpret(),
     )(aux.lidx, mask_t, g)
+    return out.reshape(B, N, D, W)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

@@ -52,30 +52,35 @@ def _gather_unique(x, uniq):
 
 
 def _wsum_kernel(lidx_ref, mask_ref, w_ref, g_ref, out_ref, *, H, F):
+    # flattened layouts: w block [TN, D*H], out block [TN, H*F] — no tiny
+    # trailing dims, contiguous full-lane writes
     TN, D = lidx_ref.shape[2], lidx_ref.shape[3]
     U = g_ref.shape[2]
     lidx = lidx_ref[0, 0]
     mask = mask_ref[0, 0]
-    w = w_ref[0, 0]                                    # [TN, D, H]
-    g = g_ref[0, 0].reshape(U, H, F)
+    w = w_ref[0, 0]                                    # [TN, D*H]
+    g = g_ref[0, 0]                                    # [U, H*F]
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (TN, U), 1)
     oh = []
     for d in range(D):
         oh.append(((iota_u == lidx[:, d:d + 1]) &
                    (mask[:, d:d + 1] > 0)).astype(jnp.float32))
+    outs = []
     for h in range(H):
         whist = jnp.zeros((TN, U), jnp.float32)
         for d in range(D):
-            whist = whist + oh[d] * w[:, d, h][:, None]
+            whist = whist + oh[d] * w[:, d * H + h:d * H + h + 1]
         wh_hi, wh_lo = _hi_lo(whist)
-        g_hi, g_lo = _hi_lo(g[:, h, :])
-        out = (jnp.dot(wh_hi, g_hi, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.DEFAULT)
-               + jnp.dot(wh_hi, g_lo, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.DEFAULT)
-               + jnp.dot(wh_lo, g_hi, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.DEFAULT))
-        out_ref[0, :, h, :] = out
+        g_hi, g_lo = _hi_lo(g[:, h * F:(h + 1) * F])
+        outs.append(
+            jnp.dot(wh_hi, g_hi, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+            + jnp.dot(wh_hi, g_lo, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+            + jnp.dot(wh_lo, g_hi, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+        )
+    out_ref[0] = jnp.concatenate(outs, axis=1)
 
 
 def _wsum_raw(values, weights, aux: TiledAux, nbr_mask):
@@ -84,9 +89,9 @@ def _wsum_raw(values, weights, aux: TiledAux, nbr_mask):
     D = aux.lidx.shape[-1]
     g = _gather_unique(values.reshape(B, N, H * F), aux.uniq)  # [B,T,U,H*F]
     mask_t = nbr_mask.reshape(B, T, TILE_N, D)
-    w_t = weights.reshape(B, T, TILE_N, D, H)
+    w_t = weights.reshape(B, T, TILE_N, D * H)
     kernel = functools.partial(_wsum_kernel, H=H, F=F)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B, T),
         in_specs=[
@@ -94,16 +99,17 @@ def _wsum_raw(values, weights, aux: TiledAux, nbr_mask):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_N, D, H), lambda b, t: (b, t, 0, 0, 0),
+            pl.BlockSpec((1, 1, TILE_N, D * H), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, U, H * F), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_N, H, F), lambda b, t: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((1, TILE_N, H * F), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, H, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, N, H * F), jnp.float32),
         interpret=_interpret(),
     )(aux.lidx, mask_t, w_t, g)
+    return out.reshape(B, N, H, F)
 
 
 def _pairdot_kernel(lidx_ref, mask_ref, gout_ref, g_ref, out_ref, *, H, F):
@@ -129,7 +135,9 @@ def _pairdot_kernel(lidx_ref, mask_ref, gout_ref, g_ref, out_ref, *, H, F):
                                    precision=jax.lax.Precision.DEFAULT))
         for d in range(D):
             sel = (iota_u == lidx[:, d:d + 1]) & (mask[:, d:d + 1] > 0)
-            out_ref[0, :, d, h] = jnp.sum(jnp.where(sel, m, 0.0), axis=1)
+            out_ref[0, :, d * H + h:d * H + h + 1] = jnp.sum(
+                jnp.where(sel, m, 0.0), axis=1, keepdims=True
+            )
 
 
 def _pairdot(gout, values, aux: TiledAux, nbr_mask):
@@ -153,11 +161,11 @@ def _pairdot(gout, values, aux: TiledAux, nbr_mask):
             pl.BlockSpec((1, 1, U, H * F), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_N, D, H), lambda b, t: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((1, TILE_N, D * H), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, D, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, N, D * H), jnp.float32),
         interpret=_interpret(),
-    )(aux.lidx, mask_t, go_t, g)
+    )(aux.lidx, mask_t, go_t, g).reshape(B, N, D, H)
 
 
 def _reverse_weights(weights, aux: TiledAux, nbr_mask):
