@@ -177,23 +177,25 @@ def tiled_aggregate_max_fwd(h, aux: TiledAux, nbr_mask):
     return out, arg
 
 
-def _max_bwd_kernel(lidx_ref, mask_ref, rslot_ref, gg_ref, ga_ref, out_ref):
+def _max_bwd_kernel(lidx_ref, mask_ref, rslot_ref, packed_ref, out_ref, *, F):
     """Route gout through the winner slots over the symmetric table.
 
     For dst-tile nodes u: grad[u, f] = sum_d mask[u,d] * gout[v_d, f] *
-    [arg[v_d, f] == rslot[u, d]], where v_d = nbr[u, d] (gathered into the
-    unique block), arg gathered alongside as f32 (values < D: exact in bf16).
+    [arg[v_d, f] == rslot[u, d]], where v_d = nbr[u, d]. gout and arg arrive
+    PACKED into one [U, 2F] unique block (one row-gather instead of two —
+    XLA gather cost is per-row, not per-byte); arg as f32 (< D: exact in bf16).
     """
     TN, D = lidx_ref.shape[2], lidx_ref.shape[3]
-    U = gg_ref.shape[2]
+    U = packed_ref.shape[2]
     lidx = lidx_ref[0, 0]
     mask = mask_ref[0, 0]
     rslot = rslot_ref[0, 0]
-    gg = gg_ref[0, 0]
+    packed = packed_ref[0, 0]
+    gg = packed[:, :F]
     gg_hi, gg_lo = _hi_lo(gg)
-    ga = ga_ref[0, 0].astype(jnp.bfloat16)            # slot ids, exact
+    ga = packed[:, F:].astype(jnp.bfloat16)           # slot ids, exact
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (TN, U), 1)
-    acc = jnp.zeros((TN, gg.shape[-1]), jnp.float32)
+    acc = jnp.zeros((TN, F), jnp.float32)
     for d in range(D):
         oh = (iota_u == lidx[:, d:d + 1]).astype(jnp.bfloat16)
         g_d = (jnp.dot(oh, gg_hi, preferred_element_type=jnp.float32,
@@ -213,12 +215,12 @@ def tiled_max_backward(gout, arg, aux: TiledAux, nbr_mask):
     B, N, F = gout.shape
     T, U = aux.num_tiles, aux.unique_budget
     D = aux.lidx.shape[-1]
-    gg = _gather_unique(gout, aux.uniq)
-    ga = _gather_unique(arg.astype(jnp.float32), aux.uniq)
+    packed = jnp.concatenate([gout, arg.astype(jnp.float32)], axis=-1)
+    gp = _gather_unique(packed, aux.uniq)             # [B, T, U, 2F], 1 gather
     mask_t = nbr_mask.reshape(B, T, TILE_N, D)
     rslot_t = aux.rslot.reshape(B, T, TILE_N, D)
     return pl.pallas_call(
-        _max_bwd_kernel,
+        functools.partial(_max_bwd_kernel, F=F),
         grid=(B, T),
         in_specs=[
             pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
@@ -227,16 +229,14 @@ def tiled_max_backward(gout, arg, aux: TiledAux, nbr_mask):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, U, F), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, U, F), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, U, 2 * F), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TILE_N, F), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
         interpret=_interpret(),
-    )(aux.lidx, mask_t, rslot_t, gg, ga)
+    )(aux.lidx, mask_t, rslot_t, gp)
 
 
 # ---------------------------------------------------------------------------
