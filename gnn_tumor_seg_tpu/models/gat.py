@@ -82,7 +82,12 @@ def gat_conv_apply(
     el = jnp.einsum("bnhf,hf->bnh", z, params["attn_l"])
     er = jnp.einsum("bnhf,hf->bnh", z, params["attn_r"])
 
-    use_pallas = impl == "pallas"
+    # small graphs: dense is already fast and Mosaic lowering is fragile at
+    # tiny block shapes (observed compile failures at N=128/F=32 scales)
+    from .sage import _pallas_min_nodes
+
+    use_pallas = (impl == "pallas"
+                  and graph.num_nodes_padded >= _pallas_min_nodes())
     if use_pallas:
         assert graph.tiled is not None, "impl='pallas' needs GraphBatch.with_tiled_aux()"
         from ..ops.pallas.slot_gather import slot_gather

@@ -63,6 +63,10 @@ def sage_conv_apply(
 ) -> jax.Array:
     """One SAGEConv layer. h: [B, N, F_in] -> [B, N, F_out]."""
     h = _dropout(h, feat_drop, rng)
+    if impl == "pallas" and graph.num_nodes_padded < _pallas_min_nodes():
+        # small graphs: the dense XLA path is already fast, and Mosaic lowering
+        # is fragile at tiny block shapes — not worth a kernel compile
+        impl = "dense"
     agg = functools.partial(
         aggregate_neighbors, nbr=graph.nbr, nbr_mask=graph.nbr_mask,
         impl=impl, tiled=graph.tiled,
@@ -173,3 +177,11 @@ class GraphSage:
         return sage_conv_apply(params[-1], graph, h, self.aggregator,
                                activation=None, feat_drop=0.0, rng=None,
                                impl=impl)
+
+
+def _pallas_min_nodes() -> int:
+    """Node-count threshold below which impl='pallas' falls back to dense
+    (override with GTS_PALLAS_MIN_NODES; tests set 0 to force kernels)."""
+    import os
+
+    return int(os.environ.get("GTS_PALLAS_MIN_NODES", "1024"))

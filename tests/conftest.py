@@ -16,3 +16,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# force the Pallas (interpret-mode) paths even on tiny test graphs
+os.environ.setdefault("GTS_PALLAS_MIN_NODES", "0")
