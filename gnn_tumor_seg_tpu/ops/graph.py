@@ -100,7 +100,7 @@ class GraphBatch:
     def replace(self, **kw) -> "GraphBatch":
         return dataclasses.replace(self, **kw)
 
-    def with_tiled_aux(self, u_align: int = 128) -> "GraphBatch":
+    def with_tiled_aux(self, u_align: int = 16) -> "GraphBatch":
         """Host-side: attach the tile-compaction tables used by impl='pallas'."""
         if self.tiled is not None:
             return self

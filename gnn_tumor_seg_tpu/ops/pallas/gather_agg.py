@@ -44,8 +44,10 @@ def _interpret() -> bool:
 
 
 def _fast_precision() -> bool:
-    """GTS_PALLAS_PRECISION=fast drops the lo-correction dots in the max
-    kernels: values round to bf16 (~2^-8 rel) but throughput rises ~25%.
+    """GTS_PALLAS_PRECISION=fast runs the aggregation kernels in single-pass
+    bf16: values round to bf16 (~2^-8 rel — i.e. standard bf16 training
+    numerics) and, crucially, the unique-block row-gathers move HALF the bytes
+    (the XLA row-gather is HBM-byte-bound at ~225 GB/s measured on v5e).
     Default is exact (hi/lo split, ~2^-16)."""
     import os
 
@@ -71,23 +73,27 @@ def _gather_unique(h, uniq):
 # ---------------------------------------------------------------------------
 
 
-def _sum_kernel(lidx_ref, mask_ref, g_ref, out_ref, *, mean: bool):
+def _sum_kernel(lidx_ref, mask_ref, g_ref, out_ref, *, mean: bool, fast: bool):
     TN, D = lidx_ref.shape[2], lidx_ref.shape[3]
     U = g_ref.shape[2]
     lidx = lidx_ref[0, 0]
     mask = mask_ref[0, 0]
     g = g_ref[0, 0]
-    g_hi, g_lo = _hi_lo(g)
+    if fast:
+        g_hi, g_lo = g.astype(jnp.bfloat16), None     # single bf16 pass
+    else:
+        g_hi, g_lo = _hi_lo(g)
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (TN, U), 1)
     cnt = jnp.zeros((TN, U), jnp.float32)
     for d in range(D):
         oh = (iota_u == lidx[:, d:d + 1]).astype(jnp.float32)
         cnt = cnt + oh * mask[:, d:d + 1]
     cnt_b = cnt.astype(jnp.bfloat16)  # integer counts <= D: exact
-    out = (jnp.dot(cnt_b, g_hi, preferred_element_type=jnp.float32,
+    out = jnp.dot(cnt_b, g_hi, preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.DEFAULT)
-           + jnp.dot(cnt_b, g_lo, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT))
+    if not fast:
+        out = out + jnp.dot(cnt_b, g_lo, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
     if mean:
         deg = jnp.sum(mask, axis=1, keepdims=True)
         out = out / jnp.maximum(deg, 1.0)
@@ -95,15 +101,21 @@ def _sum_kernel(lidx_ref, mask_ref, g_ref, out_ref, *, mean: bool):
 
 
 def tiled_aggregate(h, aux: TiledAux, nbr_mask, op: str):
-    """sum/mean aggregation. h [B, N, F] -> [B, N, F]."""
+    """sum/mean aggregation. h [B, N, F] -> [B, N, F] f32.
+
+    The unique-block row-gather stays f32: XLA's TPU gather costs
+    max(rows x ~12ns, bytes / ~225GB/s), and at F=256 the f32 row is exactly at
+    that knee — narrower (bf16) rows save no time, they just become row-bound.
+    """
     assert op in ("sum", "mean")
     B, N, F = h.shape
     T, U = aux.num_tiles, aux.unique_budget
     D = aux.lidx.shape[-1]
+    fast = _fast_precision() or h.dtype == jnp.bfloat16
     g = _gather_unique(h, aux.uniq)                   # [B, T, U, F]
     mask_t = nbr_mask.reshape(B, T, TILE_N, D)
 
-    kernel = functools.partial(_sum_kernel, mean=(op == "mean"))
+    kernel = functools.partial(_sum_kernel, mean=(op == "mean"), fast=fast)
     out = pl.pallas_call(
         kernel,
         grid=(B, T),
@@ -134,10 +146,13 @@ def _max_kernel(lidx_ref, mask_ref, g_ref, out_ref, arg_ref, *, fast):
     lidx = lidx_ref[0, 0]
     mask = mask_ref[0, 0]
     g = g_ref[0, 0]
-    g_hi, g_lo = _hi_lo(g)
+    if fast:
+        g_hi, g_lo = g.astype(jnp.bfloat16), None     # single bf16 pass
+    else:
+        g_hi, g_lo = _hi_lo(g)
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (TN, U), 1)
     best = jnp.full((TN, g.shape[-1]), _NEG_LARGE, jnp.float32)
-    arg = jnp.zeros((TN, g.shape[-1]), jnp.int32)
+    arg = jnp.zeros((TN, g.shape[-1]), jnp.float32)
     for d in range(D):
         oh = (iota_u == lidx[:, d:d + 1]).astype(jnp.bfloat16)
         g_d = jnp.dot(oh, g_hi, preferred_element_type=jnp.float32,
@@ -148,21 +163,24 @@ def _max_kernel(lidx_ref, mask_ref, g_ref, out_ref, arg_ref, *, fast):
         valid = mask[:, d:d + 1] > 0
         take = valid & (g_d > best)
         best = jnp.where(take, g_d, best)
-        arg = jnp.where(take, d, arg)
+        arg = jnp.where(take, float(d), arg)
     deg = jnp.sum(mask, axis=1, keepdims=True)
     out_ref[0] = jnp.where(deg > 0, best, 0.0)
-    arg_ref[0] = arg
+    # winner slots as bf16 (ids < D <= 128: exact) — halves the residual
+    # HBM traffic between forward and backward
+    arg_ref[0] = arg.astype(jnp.bfloat16)
 
 
 def tiled_aggregate_max_fwd(h, aux: TiledAux, nbr_mask):
-    """max aggregation -> (out [B,N,F], arg_slot int32 [B,N,F])."""
+    """max aggregation -> (out [B,N,F] f32, arg_slot bf16 [B,N,F])."""
     B, N, F = h.shape
     T, U = aux.num_tiles, aux.unique_budget
     D = aux.lidx.shape[-1]
+    fast = _fast_precision() or h.dtype == jnp.bfloat16
     g = _gather_unique(h, aux.uniq)
     mask_t = nbr_mask.reshape(B, T, TILE_N, D)
     out, arg = pl.pallas_call(
-        functools.partial(_max_kernel, fast=_fast_precision()),
+        functools.partial(_max_kernel, fast=fast),
         grid=(B, T),
         in_specs=[
             pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
@@ -180,20 +198,24 @@ def tiled_aggregate_max_fwd(h, aux: TiledAux, nbr_mask):
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, F), jnp.float32),
-            jax.ShapeDtypeStruct((B, N, F), jnp.int32),
+            jax.ShapeDtypeStruct((B, N, F), jnp.bfloat16),
         ),
         interpret=_interpret(),
     )(aux.lidx, mask_t, g)
     return out, arg
 
 
-def _max_bwd_kernel(lidx_ref, mask_ref, rslot_ref, packed_ref, out_ref, *, F):
+def _max_bwd_kernel(lidx_ref, mask_ref, rslot_ref, packed_ref, out_ref,
+                    *, F, fast):
     """Route gout through the winner slots over the symmetric table.
 
     For dst-tile nodes u: grad[u, f] = sum_d mask[u,d] * gout[v_d, f] *
     [arg[v_d, f] == rslot[u, d]], where v_d = nbr[u, d]. gout and arg arrive
-    PACKED into one [U, 2F] unique block (one row-gather instead of two —
-    XLA gather cost is per-row, not per-byte); arg as f32 (< D: exact in bf16).
+    PACKED into one bf16 unique block — [gout_hi | gout_lo | arg] ([U, 3F],
+    exact) or [gout_bf16 | arg] ([U, 2F], fast). One gather instead of two
+    keeps the row count at the XLA gather's ~12ns/row floor, and bf16 planes
+    keep the bytes at/below its ~225GB/s byte bound. arg < D <= 128 is exact
+    in bf16.
     """
     TN, D = lidx_ref.shape[2], lidx_ref.shape[3]
     U = packed_ref.shape[2]
@@ -201,10 +223,9 @@ def _max_bwd_kernel(lidx_ref, mask_ref, rslot_ref, packed_ref, out_ref, *, F):
     mask = mask_ref[0, 0]
     rslot = rslot_ref[0, 0]
     packed = packed_ref[0, 0]
-    gg = packed[:, :F]
-    gg_hi, gg_lo = _hi_lo(gg)
-    fast = _fast_precision()
-    ga = packed[:, F:].astype(jnp.bfloat16)           # slot ids, exact
+    gg_hi = packed[:, :F]
+    gg_lo = None if fast else packed[:, F:2 * F]
+    ga = packed[:, (F if fast else 2 * F):]
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (TN, U), 1)
     acc = jnp.zeros((TN, F), jnp.float32)
     for d in range(D):
@@ -223,25 +244,31 @@ def _max_bwd_kernel(lidx_ref, mask_ref, rslot_ref, packed_ref, out_ref, *, F):
 
 
 def tiled_max_backward(gout, arg, aux: TiledAux, nbr_mask):
-    """Gradient of tiled max aggregation w.r.t. h (symmetric table)."""
+    """Gradient of tiled max aggregation w.r.t. h (symmetric table).
+
+    gout [B, N, F] f32, arg bf16 winner slots from tiled_aggregate_max_fwd.
+    """
     B, N, F = gout.shape
     T, U = aux.num_tiles, aux.unique_budget
     D = aux.lidx.shape[-1]
-    packed = jnp.concatenate([gout, arg.astype(jnp.float32)], axis=-1)
-    gp = _gather_unique(packed, aux.uniq)             # [B, T, U, 2F], 1 gather
+    fast = _fast_precision()
+    if fast:
+        packed = jnp.concatenate([gout.astype(jnp.bfloat16), arg], axis=-1)
+    else:
+        hi, lo = _hi_lo(gout)
+        packed = jnp.concatenate([hi, lo, arg], axis=-1)
+    W = packed.shape[-1]
+    gp = _gather_unique(packed, aux.uniq)             # [B, T, U, W] bf16
     mask_t = nbr_mask.reshape(B, T, TILE_N, D)
     rslot_t = aux.rslot.reshape(B, T, TILE_N, D)
+    blk = lambda w: pl.BlockSpec((1, 1, TILE_N, w), lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_max_bwd_kernel, F=F),
+        functools.partial(_max_bwd_kernel, F=F, fast=fast),
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, U, 2 * F), lambda b, t: (b, t, 0, 0),
+            blk(D), blk(D), blk(D),
+            pl.BlockSpec((1, 1, U, W), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TILE_N, F), lambda b, t: (b, t, 0),

@@ -11,9 +11,11 @@ module computes the static auxiliary arrays:
                              symmetric table: the slot j with nbr[v, j] == u
                              (first-winner gradient routing for max)
 
-U is the max unique-count over tiles rounded up to a multiple of 128; spatially
-ordered supervoxel graphs (SLIC ids are raster-spatial) keep U small because
-neighboring dst nodes share most of their neighborhoods.
+U is the max unique-count over tiles rounded up to a multiple of u_align
+(default 16 — the bf16 sublane quantum, the finest Mosaic-legal second-minor
+size; smaller U means fewer gathered rows AND less MXU work in every one-hot
+dot). Spatially ordered supervoxel graphs (SLIC ids are raster-spatial) keep U
+small because neighboring dst nodes share most of their neighborhoods.
 """
 
 from __future__ import annotations
@@ -46,7 +48,7 @@ class TiledAux:
 
 
 def build_tiled_aux(nbr: np.ndarray, nbr_mask: np.ndarray,
-                    tile: int = TILE_N, u_align: int = 128) -> TiledAux:
+                    tile: int = TILE_N, u_align: int = 16) -> TiledAux:
     """nbr [B, N, D] int32, nbr_mask [B, N, D]. N must be a multiple of `tile`
     (guaranteed by the node buckets)."""
     nbr = np.asarray(nbr)

@@ -1,10 +1,31 @@
 """Tiled (Pallas) aggregation vs the reference ops — interpret mode on CPU;
-the same kernels compile for TPU (verified on hardware, see bench history)."""
+the same kernels compile for TPU (verified on hardware, see bench history).
+
+Under GTS_PALLAS_PRECISION=fast the kernels intentionally round values to bf16
+(~2^-8 rel, standard bf16-training numerics), so parity tolerances widen."""
+
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+_FAST = os.environ.get("GTS_PALLAS_PRECISION", "exact") == "fast"
+
+
+def _tol(exact: float) -> dict:
+    t = max(exact, 3e-2) if _FAST else exact
+    return {"rtol": t, "atol": t}
+
+
+def _ref_input(h):
+    """Reference-side input: in fast mode the kernels round values to bf16, so
+    the oracle must see the same rounded values — otherwise max winner-flips at
+    near-ties make pointwise comparison ill-posed."""
+    if _FAST:
+        return h.astype(jnp.bfloat16).astype(jnp.float32)
+    return h
 
 from gnn_tumor_seg_tpu.models.sage import GraphSage
 from gnn_tumor_seg_tpu.ops.aggregate import aggregate_neighbors
@@ -28,10 +49,10 @@ def test_tiled_forward_matches_reference(op):
     g = _batch()
     h = jnp.asarray(np.random.default_rng(1).normal(size=g.feats.shape)
                     .astype(np.float32))
-    want = aggregate_neighbors(h, g.nbr, g.nbr_mask, op)
+    want = aggregate_neighbors(_ref_input(h), g.nbr, g.nbr_mask, op)
     got = aggregate_neighbors_tiled(h, g.tiled, g.nbr_mask, op)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-3, atol=2e-3)
+                               **_tol(0.002))
 
 
 @pytest.mark.parametrize("op", ["sum", "mean", "max"])
@@ -39,12 +60,23 @@ def test_tiled_gradient_matches_reference(op):
     g = _batch(seed=2)
     h = jnp.asarray(np.random.default_rng(3).normal(size=g.feats.shape)
                     .astype(np.float32))
-    g1 = jax.grad(lambda h: (aggregate_neighbors(h, g.nbr, g.nbr_mask, op) ** 2).sum())(h)
-    g2 = jax.grad(lambda h: (aggregate_neighbors_tiled(h, g.tiled, g.nbr_mask, op) ** 2).sum())(h)
+    out_ref, vjp_ref = jax.vjp(
+        lambda h: aggregate_neighbors(_ref_input(h), g.nbr, g.nbr_mask, op), h)
+    _, vjp_tiled = jax.vjp(
+        lambda h: aggregate_neighbors_tiled(h, g.tiled, g.nbr_mask, op), h)
+    ct = 2.0 * out_ref
+    # fast mode rounds the cotangent inside the kernel; the oracle must see the
+    # same rounded cotangent or cancellation in the neighbor sum amplifies the
+    # (legitimate) bf16 rounding into pointwise mismatches
+    g1 = vjp_ref(_ref_input(ct))[0]
+    g2 = vjp_tiled(ct)[0]
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
-                               rtol=5e-3, atol=5e-3)
+                               **_tol(0.005))
 
 
+@pytest.mark.skipif(_FAST, reason="fast mode: pool-max winner flips at bf16 "
+                    "near-ties make model-level pointwise parity ill-posed; "
+                    "covered by op-level rounded-oracle tests + e2e dice")
 def test_model_level_pallas_parity():
     g = _batch(seed=4, f_dim=20)
     m = GraphSage(20, [32, 32], 4, "pool")
@@ -52,11 +84,11 @@ def test_model_level_pallas_parity():
     out_d = m.apply(p, g, impl="dense")
     out_p = m.apply(p, g, impl="pallas")
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
-                               rtol=5e-3, atol=5e-3)
+                               **_tol(0.005))
     gr_d = jax.grad(lambda p: (m.apply(p, g, impl="dense") ** 2).sum())(p)
     gr_p = jax.grad(lambda p: (m.apply(p, g, impl="pallas") ** 2).sum())(p)
     for a, b in zip(jax.tree_util.tree_leaves(gr_d), jax.tree_util.tree_leaves(gr_p)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), **_tol(0.02))
 
 
 def test_batch_rebuilds_aux_on_bucket_mismatch():
@@ -68,9 +100,9 @@ def test_batch_rebuilds_aux_on_bucket_mismatch():
     batch = batch_graphs(graphs)
     assert batch.tiled is not None  # rebuilt on the batched table
     h = jnp.asarray(rng.normal(size=batch.feats.shape).astype(np.float32))
-    want = aggregate_neighbors(h, batch.nbr, batch.nbr_mask, "sum")
+    want = aggregate_neighbors(_ref_input(h), batch.nbr, batch.nbr_mask, "sum")
     got = aggregate_neighbors_tiled(h, batch.tiled, batch.nbr_mask, "sum")
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **_tol(0.002))
 
 
 def test_rslot_is_consistent():
@@ -95,11 +127,11 @@ def test_slot_gather_matches_reference():
     x = jnp.asarray(rng.normal(size=(*g.feats.shape[:2], 8)).astype(np.float32))
     got = slot_gather(x, g.tiled, g.nbr_mask)
     want = jax.vmap(lambda a, i: a[i])(x, g.nbr) * g.nbr_mask[..., None]
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **_tol(0.002))
     g1 = jax.grad(lambda x: (slot_gather(x, g.tiled, g.nbr_mask) ** 2).sum())(x)
     g2 = jax.grad(lambda x: ((jax.vmap(lambda a, i: a[i])(x, g.nbr)
                               * g.nbr_mask[..., None]) ** 2).sum())(x)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), **_tol(0.003))
 
 
 def test_weighted_sum_matches_reference():
@@ -119,14 +151,14 @@ def test_weighted_sum_matches_reference():
 
     got = tiled_weighted_sum(vals, wts, g.tiled, g.nbr_mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref(vals, wts)),
-                               rtol=3e-3, atol=3e-3)
+                               **_tol(0.003))
     gv1, gw1 = jax.grad(lambda v, w: (tiled_weighted_sum(v, w, g.tiled, g.nbr_mask) ** 2).sum(),
                         argnums=(0, 1))(vals, wts)
     gv2, gw2 = jax.grad(lambda v, w: (ref(v, w) ** 2).sum(), argnums=(0, 1))(vals, wts)
-    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2), rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2), **_tol(0.005))
     m = np.asarray(g.nbr_mask)[..., None]
     np.testing.assert_allclose(np.asarray(gw1) * m, np.asarray(gw2) * m,
-                               rtol=5e-3, atol=5e-3)
+                               **_tol(0.005))
 
 
 def test_gat_model_pallas_parity():
@@ -137,11 +169,11 @@ def test_gat_model_pallas_parity():
     p = m.init(jax.random.PRNGKey(0))
     o1 = m.apply(p, g)
     o2 = m.apply(p, g, impl="pallas")
-    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), **_tol(0.005))
     gr1 = jax.grad(lambda p: (m.apply(p, g) ** 2).sum())(p)
     gr2 = jax.grad(lambda p: (m.apply(p, g, impl="pallas") ** 2).sum())(p)
     for a, b in zip(jax.tree_util.tree_leaves(gr1), jax.tree_util.tree_leaves(gr2)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), **_tol(0.02))
 
 
 def test_sddmm_matches_dense():
@@ -156,4 +188,4 @@ def test_sddmm_matches_dense():
     want = sddmm(a, c, g.nbr, g.nbr_mask)
     got = sddmm(a, c, g.nbr, g.nbr_mask, impl="pallas", tiled=g.tiled)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=3e-3, atol=3e-3)
+                               **_tol(0.003))
