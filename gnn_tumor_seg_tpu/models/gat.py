@@ -90,6 +90,16 @@ def gat_conv_apply(
                   and graph.num_nodes_padded >= _pallas_min_nodes())
     if use_pallas:
         assert graph.tiled is not None, "impl='pallas' needs GraphBatch.with_tiled_aux()"
+        if attn_drop <= 0.0 or rngs[1] is None:
+            # fused path: edge softmax + weighted combine in one kernel;
+            # attention dropout needs materialized alpha, so it falls through
+            # to the decomposed path below
+            from ..ops.pallas.fused_gat import fused_gat_attention
+
+            out = fused_gat_attention(z, el, er, graph.tiled, graph.nbr_mask,
+                                      negative_slope)
+            return _gat_epilogue(params, out, h_in, residual, num_heads,
+                                 out_feats, activation)
         from ..ops.pallas.slot_gather import slot_gather
 
         el_src = slot_gather(el, graph.tiled, graph.nbr_mask)   # [B, N, D, H]
@@ -114,6 +124,13 @@ def gat_conv_apply(
         z_src = z_src.reshape(B, N, -1, num_heads, out_feats)
         out = jnp.einsum("bndh,bndhf->bnhf", alpha, z_src)
 
+    return _gat_epilogue(params, out, h_in, residual, num_heads, out_feats,
+                         activation)
+
+
+def _gat_epilogue(params, out, h_in, residual, num_heads, out_feats,
+                  activation):
+    B, N = out.shape[:2]
     if residual:
         if "w_res" in params:
             res = (h_in @ params["w_res"]).reshape(B, N, num_heads, out_feats)

@@ -1,0 +1,309 @@
+"""Fused GAT attention: edge softmax + alpha-weighted combine in ONE kernel.
+
+fused_gat_attention(z, el, er, aux, nbr_mask, negative_slope):
+    z  [B, N, H, F]  per-head projected features
+    el [B, N, H]     src attention terms   (a_l . z)
+    er [B, N, H]     dst attention terms   (a_r . z)
+    -> out [B, N, H, F]:
+       e[v,d,h]     = LeakyReLU(el[nbr[v,d],h] + er[v,h])
+       alpha[v,:,h] = softmax_d(e)        (masked; zero-degree rows -> 0)
+       out[v,h]     = sum_d alpha[v,d,h] * z[nbr[v,d],h]
+
+Semantics match DGL GATConv's edge_softmax + message reduce, used by the
+reference's GAT stack (`model/networks.py:39-66`).
+
+Why fused: run separately (slot-gather el -> XLA softmax -> weighted-sum
+kernel), each hidden layer pays one [U, H] slot-gather kernel, two XLA
+elementwise passes over [B, N, D, H], one [U, H*F] row-gather, and a combine
+kernel — with alpha/el_src round-tripping HBM in between. Here ONE row-gather
+fetches the packed [z | el] unique block and ONE kernel per dst tile computes
+attention logits (one-hot MXU dots against the el columns), the masked softmax
+over neighbor slots (VPU), and the weighted combine (weighted-histogram MXU
+dots against the z columns) entirely in VMEM.
+
+The custom VJP is scatter-free on symmetric graphs:
+  - one backward kernel recomputes nothing non-local: d_alpha via per-head
+    all-pairs dots gout_h @ z_uniq_h^T + one-hot row picks, then softmax and
+    LeakyReLU backward in-register -> d_pre (per-edge) and d_er (sum over
+    slots), using the bf16 `pre` activations saved by the forward;
+  - d_el routes d_pre through the reverse table: one packed slot-gather fetches
+    [alpha | d_pre] rows of each node's neighbors, rslot-selects the slot under
+    which the neighbor stored *us*, yielding alpha_rev (the reverse-edge
+    weights) and d_pre_rev (whose slot-sum is d_el);
+  - d_z (values path) = the same weighted-sum kernel over gout with alpha_rev.
+The el/er -> z chain (el = a_l . z) stays outside in XLA autodiff.
+
+GTS_PALLAS_PRECISION=fast: single bf16 passes everywhere (halves the
+byte-bound z gather and the MXU dot count); exact (default) carries hi/lo bf16
+splits for ~2^-16 relative error.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tiling import TILE_N, TiledAux
+from .weighted_sum import _wsum_raw
+
+__all__ = ["fused_gat_attention"]
+
+_NEG_LARGE = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fast_precision() -> bool:
+    import os
+
+    return os.environ.get("GTS_PALLAS_PRECISION", "exact") == "fast"
+
+
+def _hi_lo(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _planes(x, fast):
+    if fast:
+        return x if x.dtype == jnp.bfloat16 else x.astype(jnp.bfloat16), None
+    return _hi_lo(x)
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+
+
+def _pair(a, b):
+    """[TN, F] x [U, F] -> [TN, U] contraction over the last axis."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+
+
+def _gather_packed(z, el, aux):
+    """One row-gather of the packed [z | el] unique block -> [B,T,U, H*F+H]."""
+    B, N, H, F = z.shape
+    packed = jnp.concatenate([z.reshape(B, N, H * F), el], axis=-1)
+    if _fast_precision():
+        packed = packed.astype(jnp.bfloat16)
+    T, U = aux.uniq.shape[1:]
+    g = jax.vmap(lambda a, i: a[i])(packed, aux.uniq.reshape(B, T * U))
+    return g.reshape(B, T, U, H * F + H)
+
+
+def _fwd_kernel(lidx_ref, mask_ref, er_ref, g_ref, out_ref, alpha_ref, pre_ref,
+                *, H, F, slope, fast):
+    TN, D = lidx_ref.shape[2], lidx_ref.shape[3]
+    U = g_ref.shape[2]
+    lidx = lidx_ref[0, 0]
+    mask = mask_ref[0, 0]
+    er = er_ref[0, 0]                                   # [TN, H] f32
+    g = g_ref[0, 0]                                     # [U, H*F+H]
+    el_hi, el_lo = _planes(g[:, H * F:], fast)          # [U, H]
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (TN, U), 1)
+
+    # one-hot slot masks (bf16 for MXU dots, f32 for the weighted histogram)
+    oh_b, oh_f = [], []
+    for d in range(D):
+        m = (iota_u == lidx[:, d:d + 1]) & (mask[:, d:d + 1] > 0)
+        oh_b.append(m.astype(jnp.bfloat16))
+        oh_f.append(m.astype(jnp.float32))
+
+    # attention logits + masked softmax over slots, in-register
+    pre, mx = [], jnp.full((TN, H), _NEG_LARGE, jnp.float32)
+    for d in range(D):
+        el_d = _dot(oh_b[d], el_hi)
+        if not fast:
+            el_d = el_d + _dot(oh_b[d], el_lo)
+        p = el_d + er
+        p = jnp.where(p >= 0, p, p * slope)             # LeakyReLU
+        pre.append(p)
+        masked = jnp.where(mask[:, d:d + 1] > 0, p, _NEG_LARGE)
+        mx = jnp.maximum(mx, masked)
+    w, z_sum = [], jnp.zeros((TN, H), jnp.float32)
+    for d in range(D):
+        # exp over the MASKED logits: padded slots give exp(-1e30 - mx) = 0
+        # even on zero-degree rows (where mx = -1e30 and raw pre - mx would
+        # overflow to inf and poison the row with inf * 0 = NaN)
+        masked = jnp.where(mask[:, d:d + 1] > 0, pre[d], _NEG_LARGE)
+        wd = jnp.exp(masked - mx) * mask[:, d:d + 1]
+        w.append(wd)
+        z_sum = z_sum + wd
+    inv = 1.0 / jnp.maximum(z_sum, 1e-20)
+    alpha = [wd * inv for wd in w]                      # D x [TN, H]
+
+    # weighted combine: one histogram + hi/lo dot pair per head
+    outs = []
+    for h in range(H):
+        whist = jnp.zeros((TN, U), jnp.float32)
+        for d in range(D):
+            whist = whist + oh_f[d] * alpha[d][:, h:h + 1]
+        wh_hi, wh_lo = _planes(whist, fast)
+        zh_hi, zh_lo = _planes(g[:, h * F:(h + 1) * F], fast)
+        o = _dot(wh_hi, zh_hi)
+        if not fast:
+            o = o + _dot(wh_hi, zh_lo) + _dot(wh_lo, zh_hi)
+        outs.append(o)
+    out_ref[0] = jnp.concatenate(outs, axis=1)
+    alpha_ref[0] = jnp.concatenate(alpha, axis=1)       # [TN, D*H] f32
+    # pre-activations (bf16: only sign/scale needed for LeakyReLU backward)
+    pre_ref[0] = jnp.concatenate(pre, axis=1).astype(jnp.bfloat16)
+
+
+def _bwd_kernel(lidx_ref, mask_ref, g_ref, alpha_ref, pre_ref, gout_ref,
+                dpre_ref, *, H, F, slope, fast):
+    """-> packed [TN, (D+1)*H]: per-slot d_pre columns, then d_er."""
+    TN, D = lidx_ref.shape[2], lidx_ref.shape[3]
+    U = g_ref.shape[2]
+    lidx = lidx_ref[0, 0]
+    mask = mask_ref[0, 0]
+    g = g_ref[0, 0]
+    alpha = alpha_ref[0, 0]                             # [TN, D*H] f32
+    pre = pre_ref[0, 0]                                 # [TN, D*H] bf16
+    go = gout_ref[0, 0]                                 # [TN, H*F] f32
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (TN, U), 1)
+
+    # d_alpha[v,d,h] = <gout[v,h], z_uniq[lidx[v,d], h]> : all-pairs dot + pick
+    m_h = []
+    for h in range(H):
+        go_hi, go_lo = _planes(go[:, h * F:(h + 1) * F], fast)
+        zh_hi, zh_lo = _planes(g[:, h * F:(h + 1) * F], fast)
+        m = _pair(go_hi, zh_hi)
+        if not fast:
+            m = m + _pair(go_hi, zh_lo) + _pair(go_lo, zh_hi)
+        m_h.append(m)                                   # [TN, U]
+
+    # softmax backward: d_e = alpha * (d_alpha - sum_d alpha*d_alpha)
+    d_alpha = []
+    s = jnp.zeros((TN, H), jnp.float32)
+    for d in range(D):
+        sel = (iota_u == lidx[:, d:d + 1]) & (mask[:, d:d + 1] > 0)
+        da = jnp.concatenate(
+            [jnp.sum(jnp.where(sel, m_h[h], 0.0), axis=1, keepdims=True)
+             for h in range(H)], axis=1)                # [TN, H]
+        d_alpha.append(da)
+        s = s + alpha[:, d * H:(d + 1) * H] * da
+    cols = []
+    for d in range(D):
+        a_d = alpha[:, d * H:(d + 1) * H]
+        d_e = a_d * (d_alpha[d] - s)
+        p_d = pre[:, d * H:(d + 1) * H].astype(jnp.float32)  # bf16 cmp: no TPU op
+        d_p = jnp.where(p_d >= 0, d_e, d_e * slope)     # LeakyReLU'
+        cols.append(d_p * mask[:, d:d + 1])
+    d_er = functools.reduce(jnp.add, cols)
+    dpre_ref[0] = jnp.concatenate(cols + [d_er], axis=1)
+
+
+def _reverse_slots(x, aux: TiledAux, nbr_mask):
+    """x [B, N, D, W] -> x_rev[u, d] = x[nbr[u,d], rslot[u,d]] (masked).
+
+    slot_gather fetches each neighbor's full [D*W] slot row; the rslot column
+    pick runs in XLA. (An in-kernel D^2 select was tried and lowers badly —
+    tiny lane-offset slices force Mosaic relayouts, 2x slower overall.)"""
+    from .slot_gather import slot_gather
+
+    B, N, D, W = x.shape
+    fetched = slot_gather(x.reshape(B, N, D * W), aux, nbr_mask)
+    fetched = fetched.reshape(B, N, D, D, W)
+    rs = aux.rslot[..., None, None]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (B, N, D, D, 1), 3)
+    picked = jnp.sum(jnp.where(slot_iota == rs, fetched, 0.0), axis=3)
+    return picked * (nbr_mask[..., None] > 0)
+
+
+def _fused_fwd_raw(z, el, er, aux: TiledAux, nbr_mask, slope):
+    B, N, H, F = z.shape
+    T, U = aux.num_tiles, aux.unique_budget
+    D = aux.lidx.shape[-1]
+    g = _gather_packed(z, el, aux)
+    mask_t = nbr_mask.reshape(B, T, TILE_N, D)
+    er_t = er.reshape(B, T, TILE_N, H)
+    blk = lambda w: pl.BlockSpec((1, 1, TILE_N, w), lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    out, alpha, pre = pl.pallas_call(
+        functools.partial(_fwd_kernel, H=H, F=F, slope=slope,
+                          fast=_fast_precision()),
+        grid=(B, T),
+        in_specs=[
+            blk(D), blk(D), blk(H),
+            pl.BlockSpec((1, 1, U, H * F + H), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TILE_N, H * F), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N, D * H), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N, D * H), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, H * F), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, D * H), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, D * H), jnp.bfloat16),
+        ),
+        interpret=_interpret(),
+    )(aux.lidx, mask_t, er_t, g)
+    return out.reshape(B, N, H, F), alpha, pre, g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_gat_attention(z, el, er, aux: TiledAux, nbr_mask, negative_slope=0.2):
+    out, _, _, _ = _fused_fwd_raw(z, el, er, aux, nbr_mask, negative_slope)
+    return out
+
+
+def _fga_fwd(z, el, er, aux, nbr_mask, slope):
+    out, alpha, pre, g = _fused_fwd_raw(z, el, er, aux, nbr_mask, slope)
+    return out, (z.shape, g, alpha, pre, aux, nbr_mask)
+
+
+def _fga_bwd(slope, res, gout):
+    (B, N, H, F), g, alpha, pre, aux, nbr_mask = res
+    T, U = aux.num_tiles, aux.unique_budget
+    D = aux.lidx.shape[-1]
+    mask_t = nbr_mask.reshape(B, T, TILE_N, D)
+    go_t = gout.reshape(B, T, TILE_N, H * F)
+    alpha_t = alpha.reshape(B, T, TILE_N, D * H)
+    pre_t = pre.reshape(B, T, TILE_N, D * H)
+    blk = lambda w, dt=None: pl.BlockSpec((1, 1, TILE_N, w),
+                                          lambda b, t: (b, t, 0, 0),
+                                          memory_space=pltpu.VMEM)
+    packed = pl.pallas_call(
+        functools.partial(_bwd_kernel, H=H, F=F, slope=slope,
+                          fast=_fast_precision()),
+        grid=(B, T),
+        in_specs=[
+            blk(D), blk(D),
+            pl.BlockSpec((1, 1, U, H * F + H), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            blk(D * H), blk(D * H), blk(H * F),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_N, (D + 1) * H), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, (D + 1) * H), jnp.float32),
+        interpret=_interpret(),
+    )(aux.lidx, mask_t, g, alpha_t, pre_t, go_t)
+    d_pre = packed[:, :, :D * H].reshape(B, N, D, H)
+    d_er = packed[:, :, D * H:]
+
+    # one packed reverse fetch: [alpha | d_pre] per slot
+    rev = _reverse_slots(
+        jnp.concatenate([alpha.reshape(B, N, D, H), d_pre], axis=-1),
+        aux, nbr_mask)
+    alpha_rev, d_pre_rev = rev[..., :H], rev[..., H:]
+    d_el = jnp.sum(d_pre_rev, axis=2)                   # route to src nodes
+    d_z = _wsum_raw(gout.reshape(B, N, H, F), alpha_rev, aux, nbr_mask)
+    return d_z, d_el, d_er, None, None
+
+
+fused_gat_attention.defvjp(_fga_fwd, _fga_bwd)

@@ -39,6 +39,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _fast_precision() -> bool:
+    import os
+
+    return os.environ.get("GTS_PALLAS_PRECISION", "exact") == "fast"
+
+
 def _hi_lo(x):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -51,7 +57,7 @@ def _gather_unique(x, uniq):
     return g.reshape(B, T, U, x.shape[-1])
 
 
-def _slot_gather_kernel(lidx_ref, mask_ref, g_ref, out_ref, *, W):
+def _slot_gather_kernel(lidx_ref, mask_ref, g_ref, out_ref, *, W, fast):
     # out block is [TN, D*W] (slots flattened into lanes): contiguous writes;
     # tiny-W trailing output dims lower terribly on TPU (measured ~17 ms/layer)
     TN, D = lidx_ref.shape[2], lidx_ref.shape[3]
@@ -59,16 +65,20 @@ def _slot_gather_kernel(lidx_ref, mask_ref, g_ref, out_ref, *, W):
     lidx = lidx_ref[0, 0]
     mask = mask_ref[0, 0]
     g = g_ref[0, 0]
-    g_hi, g_lo = _hi_lo(g)
+    if fast:
+        g_hi, g_lo = g.astype(jnp.bfloat16), None
+    else:
+        g_hi, g_lo = _hi_lo(g)
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (TN, U), 1)
     cols = []
     for d in range(D):
         oh = ((iota_u == lidx[:, d:d + 1]) &
               (mask[:, d:d + 1] > 0)).astype(jnp.bfloat16)
-        row = (jnp.dot(oh, g_hi, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.DEFAULT)
-               + jnp.dot(oh, g_lo, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.DEFAULT))
+        row = jnp.dot(oh, g_hi, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+        if not fast:
+            row = row + jnp.dot(oh, g_lo, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
         cols.append(row)
     out_ref[0] = jnp.concatenate(cols, axis=1)
 
@@ -82,7 +92,7 @@ def _slot_gather_raw(x, aux: TiledAux, nbr_mask):
     g = _gather_unique(x, aux.uniq)
     mask_t = nbr_mask.reshape(B, T, TILE_N, D)
     out = pl.pallas_call(
-        functools.partial(_slot_gather_kernel, W=W),
+        functools.partial(_slot_gather_kernel, W=W, fast=_fast_precision()),
         grid=(B, T),
         in_specs=[
             pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),

@@ -25,9 +25,10 @@ def sddmm(a: jax.Array, c: jax.Array, nbr: jax.Array, nbr_mask: jax.Array,
     """a, c: [B, N, H, F]; nbr [B, N, D]; -> scores [B, N, D, H]."""
     if impl == "pallas":
         assert tiled is not None, "impl='pallas' needs GraphBatch.with_tiled_aux()"
-        from .pallas.weighted_sum import _pairdot
+        from .pallas.weighted_sum import _gather_values, _pairdot
 
-        return _pairdot(a, c, tiled, nbr_mask) * (nbr_mask[..., None] > 0)
+        g = _gather_values(c, tiled)
+        return _pairdot(a, c.shape, g, tiled, nbr_mask) * (nbr_mask[..., None] > 0)
     B, N, H, F = a.shape
     gather = jax.vmap(lambda x, i: x[i])
     c_src = gather(c.reshape(B, N, H * F), nbr).reshape(B, N, -1, H, F)
