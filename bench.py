@@ -41,13 +41,14 @@ def build_step(model, hp, graph, device, impl=None):
     cw = jax.device_put(jnp.asarray(hp.class_weights, jnp.float32), device)
 
     impl = impl or os.environ.get("GTS_AGG_IMPL", "pallas")
+    # unrolled middle layers: ~8% faster than lax.scan at depth 7 (scan blocks
+    # cross-layer fusion); compile cost is cached. GAT has no scan option.
+    kw = {"scan_middle": False} if hasattr(model, "aggregator") else {}
 
     @jax.jit
     def step(state, graph):
         def loss_fn(p):
-            # unrolled middle layers: ~8% faster than lax.scan at depth 7
-            # (scan blocks cross-layer fusion); compile cost is cached
-            logits = model.apply(p, graph, scan_middle=False, impl=impl)
+            logits = model.apply(p, graph, impl=impl, **kw)
             return weighted_cross_entropy(logits, graph.labels, cw, graph.node_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -68,6 +69,18 @@ def time_steps(step, state, graph, n_steps, label=""):
         state, loss = step(state, graph)
     jax.block_until_ready(loss)
     return (time.perf_counter() - t0) / n_steps
+
+
+def bench_gat(graph, device):
+    """Secondary config: GAT (4 hidden x 256, 4 heads, residuals) step time."""
+    from gnn_tumor_seg_tpu.config import HyperParams
+    from gnn_tumor_seg_tpu.models.gat import GAT
+
+    gat_hp = HyperParams(layer_sizes=[256] * 4)
+    model = GAT(gat_hp.in_feats, gat_hp.layer_sizes, gat_hp.out_classes,
+                heads=[4] * 4, residuals=[True] * 4)
+    step, state, g_dev = build_step(model, gat_hp, graph, device)
+    return time_steps(step, state, g_dev, n_steps=10, label="gat")
 
 
 def main():
@@ -96,6 +109,14 @@ def main():
     tpu_eps = edges_per_step / t_tpu
     log(f"[bench] tpu step {t_tpu*1e3:.2f} ms -> {tpu_eps:.3e} edges/s")
 
+    t_gat = None
+    if os.environ.get("GTS_BENCH_SKIP_GAT") != "1":
+        try:
+            t_gat = bench_gat(graph, tpu)
+            log(f"[bench] gat step {t_gat*1e3:.2f} ms")
+        except Exception as e:
+            log(f"[bench] gat config failed: {e}")
+
     cpu_eps = t_cpu = None
     if os.environ.get("GTS_BENCH_SKIP_CPU") != "1":
         try:
@@ -121,6 +142,8 @@ def main():
             "k": k,
             "step_ms": round(t_tpu * 1e3, 2),
             "cpu_step_ms": round(t_cpu * 1e3, 2) if cpu_eps else None,
+            "gat_step_ms": round(t_gat * 1e3, 2) if t_gat else None,
+            "precision_mode": os.environ.get("GTS_PALLAS_PRECISION", "exact"),
             "device": str(tpu),
         },
     }

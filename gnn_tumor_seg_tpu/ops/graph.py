@@ -204,13 +204,16 @@ def batch_graphs(
     graphs: Sequence[GraphBatch],
     n_pad: int | None = None,
     d_pad: int | None = None,
+    u_pad: int | None = None,
 ) -> GraphBatch:
     """Stack B=1 graphs into one batch, repadding to shared bucket shapes.
 
     TPU-native replacement for dgl.batch's disjoint union + host-side concat
     (`data_processing/data_loader.py:165-169`): the batch axis stays explicit so it
     can be sharded across a device mesh. Passing n_pad/d_pad pins the bucket (e.g.
-    a dataset-wide shape so every train step compiles exactly once).
+    a dataset-wide shape so every train step compiles exactly once); u_pad
+    likewise pins the tiling unique budget (otherwise it floats with the batch
+    composition and each distinct value is a fresh compile).
     """
     if n_pad is None:
         n_pad = bucket_size(max(g.num_nodes_padded for g in graphs), NODE_BUCKETS)
@@ -232,6 +235,8 @@ def batch_graphs(
             # differing unique budgets pad on-device: extra uniq entries point
             # at row 0, which no lidx slot references — harmless
             u_max = max(g.tiled.unique_budget for g in graphs)
+            if u_pad is not None:
+                u_max = max(u_max, u_pad)
             pad_u = lambda x: jnp.pad(x, ((0, 0), (0, 0),
                                           (0, u_max - x.shape[2])))
             tiled = TiledAux(
@@ -278,10 +283,12 @@ def batch_graphs(
     ):
         from .pallas.tiling import TiledAux
 
-        u_pad = max(g.tiled.unique_budget for g in graphs)
+        u_tgt = max(g.tiled.unique_budget for g in graphs)
+        if u_pad is not None:
+            u_tgt = max(u_tgt, u_pad)
         uniq = np.concatenate([
             np.pad(np.asarray(g.tiled.uniq),
-                   ((0, 0), (0, 0), (0, u_pad - g.tiled.unique_budget)))
+                   ((0, 0), (0, 0), (0, u_tgt - g.tiled.unique_budget)))
             for g in graphs
         ])
         lidx = np.concatenate([np.asarray(g.tiled.lidx) for g in graphs])

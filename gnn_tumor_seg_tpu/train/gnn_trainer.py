@@ -68,6 +68,10 @@ class GNNTrainer:
         self._shape_budget = None
         self._graph_cache: dict[int, GraphBatch] = {}
         self._edge_counts: dict[int, int] = {}
+        # monotone tiling-U budget (quantized): pins the batch unique budget so
+        # the step shape does not float with batch composition (each distinct
+        # U would be a fresh XLA compile); grows (one recompile) if exceeded
+        self._u_budget = 0
         self.last_epoch_stats: dict = {}
         if train_data is not None:
             self._shape_budget = self._compute_shape_budget(train_data)
@@ -93,7 +97,10 @@ class GNNTrainer:
     # ---------------------------------------------------------------- step
     def _build_step(self):
         model, cw, tx, impl = self.model, self.class_weights, self._tx, self.impl
-        scan_middle = getattr(model, "num_layers", 0) >= 4
+        # unrolled middle layers fuse across layer boundaries (~8% faster at
+        # depth 7 than lax.scan); scan only guards compile time for very deep
+        # stacks. The persistent compilation cache absorbs the one-time cost.
+        scan_middle = getattr(model, "num_layers", 0) > 8
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state, graph: GraphBatch, rng):
@@ -115,11 +122,17 @@ class GNNTrainer:
     def _get_graph(self, i: int) -> GraphBatch:
         """Fetch + (for the Pallas impl) attach and cache tiling aux."""
         if self.impl != "pallas":
-            return self.train_data.get_graph(i)
+            g = self.train_data.get_graph(i)
+            if i not in self._edge_counts:
+                self._edge_counts[i] = int(np.asarray(g.nbr_mask).sum())
+            return g
         g = self._graph_cache.get(i)
         if g is None:
             g = self.train_data.get_graph(i).with_tiled_aux()
             self._graph_cache[i] = g
+            # host-side count: a device-side sum here would synchronize the
+            # step pipeline on every first-epoch fetch
+            self._edge_counts[i] = int(np.asarray(g.nbr_mask).sum())
         return g
 
     def _start_prefetch(self, order) -> None:
@@ -163,12 +176,16 @@ class GNNTrainer:
             for i in idxs:
                 g = self._get_graph(int(i))
                 graphs.append(g)
-                if int(i) not in self._edge_counts:
-                    self._edge_counts[int(i)] = int(jax.device_get(jnp.sum(g.nbr_mask)))
                 edges += self._edge_counts[int(i)]
             while len(graphs) < bs:  # pad remainder batch: same compiled shape
                 graphs.append(_masked_copy(graphs[0]))
-            batch = batch_graphs(graphs, n_pad=n_pad, d_pad=d_pad)
+            if any(g.tiled is not None for g in graphs):
+                u_obs = max(g.tiled.unique_budget for g in graphs
+                            if g.tiled is not None)
+                if u_obs > self._u_budget:  # quantize: rare, bounded recompiles
+                    self._u_budget = -(-u_obs // 32) * 32
+            batch = batch_graphs(graphs, n_pad=n_pad, d_pad=d_pad,
+                                 u_pad=self._u_budget or None)
             self._dropout_key, sub = jax.random.split(self._dropout_key)
             with jax.profiler.StepTraceAnnotation("gnn_train_step", step_num=step_i):
                 self.state, loss = self._step(self.state, batch, sub)
