@@ -10,9 +10,11 @@ on read.
 
 from __future__ import annotations
 
+import concurrent.futures
 import gzip
 import os
 import struct
+import zlib
 
 import numpy as np
 
@@ -46,14 +48,26 @@ _HDR_SIZE = 348
 
 def _open(fp: str, mode: str):
     if fp.endswith(".gz"):
-        return gzip.open(fp, mode)
+        # level 1: ~6x faster writes than Python's default 9 at ~15% larger
+        # files — the right trade for pipeline artifacts (matches nibabel)
+        return gzip.open(fp, mode, compresslevel=1) if "w" in mode \
+            else gzip.open(fp, mode)
     return open(fp, mode)
+
+
+def _read_bytes(fp: str) -> bytes:
+    if fp.endswith(".gz"):
+        # one-shot zlib decompress of the whole file: measurably faster than
+        # gzip.open's chunked streaming (the dominant preprocess cost per brain)
+        with open(fp, "rb") as f:
+            return zlib.decompress(f.read(), wbits=31)
+    with open(fp, "rb") as f:
+        return f.read()
 
 
 def read_nifti(fp: str, dtype=None, return_affine: bool = False):
     """Read a .nii / .nii.gz volume -> numpy array (optionally with its affine)."""
-    with _open(fp, "rb") as f:
-        raw = f.read()
+    raw = _read_bytes(fp)
     if len(raw) < _HDR_SIZE:
         raise ValueError(f"{fp}: truncated NIfTI header")
     sizeof_hdr = struct.unpack_from("<i", raw, 0)[0]
@@ -139,21 +153,24 @@ def save_as_nifti(img: np.ndarray, fp: str) -> None:
 
 def read_in_patient_sample(scan_dir: str, modality_exts: list[str]) -> np.ndarray:
     """Walk scan_dir for files ending in each modality extension and stack them
-    channels-last (`nifti_io.py:12-28`). Asserts all modalities are present."""
-    modality_imgs = []
+    channels-last (`nifti_io.py:12-28`). Asserts all modalities are present.
+
+    Modalities decode in parallel threads: zlib releases the GIL, so the four
+    per-brain gzip decodes (the preprocess hotspot) overlap."""
+    paths = []
     for root, _, files in os.walk(scan_dir):
         for ext in modality_exts:
             for filename in files:
                 if filename.endswith(ext):
-                    modality_imgs.append(
-                        read_nifti(os.path.join(root, filename), np.float32)
-                    )
-    assert len(modality_imgs) == len(modality_exts), (
+                    paths.append(os.path.join(root, filename))
+    assert len(paths) == len(modality_exts), (
         f"expected {len(modality_exts)} modalities in {scan_dir}, "
-        f"found {len(modality_imgs)}"
+        f"found {len(paths)}"
     )
-    if len(modality_imgs) == 1:
-        return modality_imgs[0]
+    if len(paths) == 1:
+        return read_nifti(paths[0], np.float32)
+    with concurrent.futures.ThreadPoolExecutor(len(paths)) as ex:
+        modality_imgs = list(ex.map(lambda p: read_nifti(p, np.float32), paths))
     return np.stack(modality_imgs, 3)
 
 
