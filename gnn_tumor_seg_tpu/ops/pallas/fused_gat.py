@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tiling import TILE_N, TiledAux
+from .tiling import TILE_N, TiledAux, gather_unique_rows
 from .weighted_sum import _wsum_raw
 
 __all__ = ["fused_gat_attention"]
@@ -95,9 +95,7 @@ def _gather_packed(z, el, aux):
     packed = jnp.concatenate([z.reshape(B, N, H * F), el], axis=-1)
     if _fast_precision():
         packed = packed.astype(jnp.bfloat16)
-    T, U = aux.uniq.shape[1:]
-    g = jax.vmap(lambda a, i: a[i])(packed, aux.uniq.reshape(B, T * U))
-    return g.reshape(B, T, U, H * F + H)
+    return gather_unique_rows(packed, aux.uniq)
 
 
 def _fwd_kernel(lidx_ref, mask_ref, er_ref, g_ref, out_ref, alpha_ref, pre_ref,

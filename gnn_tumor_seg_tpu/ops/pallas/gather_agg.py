@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tiling import TILE_N, TiledAux
+from .tiling import TILE_N, TiledAux, gather_unique_rows
 
 __all__ = ["tiled_aggregate", "tiled_aggregate_max_fwd", "tiled_max_backward"]
 
@@ -61,11 +61,8 @@ def _hi_lo(x):
 
 
 def _gather_unique(h, uniq):
-    """h [B, N, F], uniq [B, T, U] -> [B, T, U, F] via one XLA row gather."""
-    B, T, U = uniq.shape
-    flat = uniq.reshape(B, T * U)
-    g = jax.vmap(lambda x, i: x[i])(h, flat)
-    return g.reshape(B, T, U, h.shape[-1])
+    """h [B, N, F], uniq [B, T, U] -> [B, T, U, F] via one flat XLA row gather."""
+    return gather_unique_rows(h, uniq)
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tiling import TILE_N, TiledAux
+from .tiling import TILE_N, TiledAux, gather_unique_rows
 
 __all__ = ["slot_gather"]
 
@@ -52,9 +52,7 @@ def _hi_lo(x):
 
 
 def _gather_unique(x, uniq):
-    B, T, U = uniq.shape
-    g = jax.vmap(lambda a, i: a[i])(x, uniq.reshape(B, T * U))
-    return g.reshape(B, T, U, x.shape[-1])
+    return gather_unique_rows(x, uniq)
 
 
 def _slot_gather_kernel(lidx_ref, mask_ref, g_ref, out_ref, *, W, fast):

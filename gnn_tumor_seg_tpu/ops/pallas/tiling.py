@@ -26,9 +26,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["TiledAux", "build_tiled_aux", "TILE_N"]
+__all__ = ["TiledAux", "build_tiled_aux", "gather_unique_rows", "TILE_N"]
 
 TILE_N = 128
+
+
+def gather_unique_rows(x: jax.Array, uniq: jax.Array) -> jax.Array:
+    """x [B, N, W], uniq int32 [B, T, U] -> [B, T, U, W].
+
+    The unique-block fetch feeding every Pallas aggregation kernel. Lowered as
+    ONE flat global row-gather over the [B*N, W] table with batch-offset
+    indices: XLA lowers a vmap-over-B batched gather ~2.5x slower than the
+    equivalent flat gather (measured v5e, 55k x 1KB rows: 0.78 vs 0.31 ms
+    marginal), and the train step is gather-dominated.
+    """
+    B, T, U = uniq.shape
+    N, W = x.shape[1], x.shape[-1]
+    off = jnp.arange(B, dtype=jnp.int32)[:, None, None] * N
+    flat_idx = (uniq + off).reshape(B * T * U)
+    g = x.reshape(B * N, W)[flat_idx]
+    return g.reshape(B, T, U, W)
 
 
 @jax.tree_util.register_dataclass

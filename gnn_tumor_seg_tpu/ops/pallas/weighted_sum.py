@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .slot_gather import slot_gather
-from .tiling import TILE_N, TiledAux
+from .tiling import TILE_N, TiledAux, gather_unique_rows
 
 __all__ = ["tiled_weighted_sum"]
 
@@ -56,9 +56,7 @@ def _hi_lo(x):
 
 
 def _gather_unique(x, uniq):
-    B, T, U = uniq.shape
-    g = jax.vmap(lambda a, i: a[i])(x, uniq.reshape(B, T * U))
-    return g.reshape(B, T, U, x.shape[-1])
+    return gather_unique_rows(x, uniq)
 
 
 def _gather_values(values, aux):
