@@ -87,7 +87,15 @@ def main():
     from gnn_tumor_seg_tpu.config import HyperParams
     from gnn_tumor_seg_tpu.models.sage import GraphSage
     from gnn_tumor_seg_tpu.ops.graph import batch_graphs
+    from gnn_tumor_seg_tpu.ops.pallas.precision import (
+        get_precision_mode, set_precision_mode)
     from __graft_entry__ import _synthetic_graph
+
+    # training-step benches run the trainer's default precision: single-pass
+    # bf16 kernels ("fast", the TPU training norm — convergence parity with
+    # "exact" is pinned by tests/test_training.py); GTS_PALLAS_PRECISION=exact
+    # benches the hi/lo ~2^-16 mode instead
+    set_precision_mode(os.environ.get("GTS_PALLAS_PRECISION", "fast"))
 
     hp = HyperParams(layer_sizes=[256] * 6)  # 7-layer flagship
     model = GraphSage(hp.in_feats, hp.layer_sizes, hp.out_classes, "pool")
@@ -143,7 +151,7 @@ def main():
             "step_ms": round(t_tpu * 1e3, 2),
             "cpu_step_ms": round(t_cpu * 1e3, 2) if cpu_eps else None,
             "gat_step_ms": round(t_gat * 1e3, 2) if t_gat else None,
-            "precision_mode": os.environ.get("GTS_PALLAS_PRECISION", "exact"),
+            "precision_mode": get_precision_mode(),
             "device": str(tpu),
         },
     }

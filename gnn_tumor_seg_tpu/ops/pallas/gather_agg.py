@@ -44,14 +44,9 @@ def _interpret() -> bool:
 
 
 def _fast_precision() -> bool:
-    """GTS_PALLAS_PRECISION=fast runs the aggregation kernels in single-pass
-    bf16: values round to bf16 (~2^-8 rel — i.e. standard bf16 training
-    numerics) and, crucially, the unique-block row-gathers move HALF the bytes
-    (the XLA row-gather is HBM-byte-bound at ~225 GB/s measured on v5e).
-    Default is exact (hi/lo split, ~2^-16)."""
-    import os
+    from .precision import fast_precision
 
-    return os.environ.get("GTS_PALLAS_PRECISION", "exact") == "fast"
+    return fast_precision()
 
 
 def _hi_lo(x):

@@ -1,0 +1,66 @@
+"""Precision-mode resolution for the Pallas aggregation kernels.
+
+Two modes for the one-hot-MXU kernels (see gather_agg.py for the numerics):
+
+  "exact" — hi/lo bf16 split carries ~2^-16 relative error: activations and
+            gradients match the f32 dense oracle to near-f32 precision. This is
+            the LIBRARY default so every parity test/fixture compares exactly.
+  "fast"  — single bf16 pass (~2^-8 relative, i.e. standard bf16 training
+            numerics — the TPU-native norm, and looser-but-comparable to the
+            TF32 (2^-11) matmuls torch uses by default on current NVIDIA
+            hardware, reference `model/gnn_model.py:23`). Halves the MXU
+            one-hot dot count (the train step's compute bound) and the
+            byte-bound unique-block gathers. The TRAINER default
+            (train/gnn_trainer.py) — convergence parity with "exact" is
+            pinned by tests/test_training.py.
+
+Resolution order: set_precision_mode(...) > GTS_PALLAS_PRECISION env >
+"exact". NOTE: the mode is baked into traced/jitted programs at trace time;
+set it before building a train step (changing it later will not retrace
+already-compiled functions).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+__all__ = ["get_precision_mode", "set_precision_mode", "precision_scope",
+           "fast_precision"]
+
+_MODES = ("exact", "fast")
+_OVERRIDE: str | None = None
+
+
+def set_precision_mode(mode: str | None) -> None:
+    """Set (or with None, clear) the process-wide kernel precision mode."""
+    global _OVERRIDE
+    assert mode is None or mode in _MODES, mode
+    _OVERRIDE = mode
+
+
+def get_precision_mode() -> str:
+    if _OVERRIDE is not None:
+        return _OVERRIDE
+    return os.environ.get("GTS_PALLAS_PRECISION", "exact")
+
+
+@contextlib.contextmanager
+def precision_scope(mode: str | None):
+    """Scoped mode override (restores the previous mode on exit).
+
+    The trainer wraps every jitted-step call in this so its precision choice
+    is active exactly while its step traces, without leaking a process-global
+    override into unrelated code (e.g. parity tests in the same process)."""
+    global _OVERRIDE
+    assert mode is None or mode in _MODES, mode
+    prev = _OVERRIDE
+    _OVERRIDE = mode
+    try:
+        yield
+    finally:
+        _OVERRIDE = prev
+
+
+def fast_precision() -> bool:
+    return get_precision_mode() == "fast"

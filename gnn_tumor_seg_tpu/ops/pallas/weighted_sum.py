@@ -44,9 +44,9 @@ def _interpret() -> bool:
 
 
 def _fast_precision() -> bool:
-    import os
+    from .precision import fast_precision
 
-    return os.environ.get("GTS_PALLAS_PRECISION", "exact") == "fast"
+    return fast_precision()
 
 
 def _hi_lo(x):

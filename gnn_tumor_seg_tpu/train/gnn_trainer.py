@@ -47,7 +47,8 @@ def _masked_copy(g: GraphBatch) -> GraphBatch:
 
 class GNNTrainer:
     def __init__(self, model_type: str, hp: HyperParams, train_data=None,
-                 seed: int = 0, impl: str | None = None):
+                 seed: int = 0, impl: str | None = None,
+                 precision: str | None = None):
         self.model_type = model_type
         self.hp = hp
         self.model = init_graph_net(model_type, hp)
@@ -56,6 +57,17 @@ class GNNTrainer:
         if impl is None:
             impl = "pallas" if jax.default_backend() == "tpu" else "dense"
         self.impl = impl
+        # kernel precision for TRAINING steps: "fast" (single-pass bf16 — the
+        # TPU-native training norm; convergence parity with "exact" is pinned
+        # by tests) unless overridden by arg or GTS_PALLAS_PRECISION. Scoped to
+        # this trainer's step calls (ops/pallas/precision.py); eval/predict run
+        # the dense f32 path regardless. Library default elsewhere stays exact.
+        import os as _os
+
+        if precision is None:
+            precision = _os.environ.get("GTS_PALLAS_PRECISION", "fast")
+        assert precision in ("exact", "fast"), precision
+        self.precision = precision
         self.rng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
         self.params = self.model.init(key)
@@ -187,7 +199,11 @@ class GNNTrainer:
             batch = batch_graphs(graphs, n_pad=n_pad, d_pad=d_pad,
                                  u_pad=self._u_budget or None)
             self._dropout_key, sub = jax.random.split(self._dropout_key)
-            with jax.profiler.StepTraceAnnotation("gnn_train_step", step_num=step_i):
+            from ..ops.pallas.precision import precision_scope
+
+            with precision_scope(self.precision), \
+                    jax.profiler.StepTraceAnnotation("gnn_train_step",
+                                                     step_num=step_i):
                 self.state, loss = self._step(self.state, batch, sub)
             losses.append(loss)
         mean_loss = float(np.mean([jax.device_get(l) for l in losses]))
@@ -198,6 +214,7 @@ class GNNTrainer:
             "steps": len(losses),
             "edges_per_s": edges * n_layers / max(dt, 1e-9),
             "impl": self.impl,
+            "precision": self.precision,
         }
         self.state = self.state.next_epoch()
         return mean_loss
