@@ -93,8 +93,10 @@ def main():
 
     # training-step benches run the trainer's default precision: single-pass
     # bf16 kernels ("fast", the TPU training norm — convergence parity with
-    # "exact" is pinned by tests/test_training.py); GTS_PALLAS_PRECISION=exact
-    # benches the hi/lo ~2^-16 mode instead
+    # "exact" is pinned by tests/test_training.py::
+    # test_fast_vs_exact_convergence_pallas); GTS_PALLAS_PRECISION=exact
+    # benches the hi/lo ~2^-16 mode instead. Headline numbers recorded in
+    # BASELINE.md state which mode they were measured under.
     set_precision_mode(os.environ.get("GTS_PALLAS_PRECISION", "fast"))
 
     hp = HyperParams(layer_sizes=[256] * 6)  # 7-layer flagship
@@ -152,6 +154,9 @@ def main():
             "cpu_step_ms": round(t_cpu * 1e3, 2) if cpu_eps else None,
             "gat_step_ms": round(t_gat * 1e3, 2) if t_gat else None,
             "precision_mode": get_precision_mode(),
+            # vs_baseline divides by this repo's own dense-XLA step on the host
+            # CPU backend — NOT a DGL/torch reference (DGL absent in image)
+            "baseline": "in-repo dense-XLA CPU step",
             "device": str(tpu),
         },
     }

@@ -91,11 +91,14 @@ def random_hyperparameters(model_type: str, seed: int | None = None) -> HyperPar
     """Random search distributions (`utils/hyperparam_helpers.py:48-72`).
 
     The reference time-seeds so that concurrent sweep runs differ
-    (`hyperparam_helpers.py:50`); same here unless a seed is given. Epoch counts use
+    (`hyperparam_helpers.py:50`); same here unless a seed is given — but seeded
+    from `time_ns() % 1000` rather than the reference's
+    `int(str(time.time())[-3:])`, which crashes whenever the last 3 chars of
+    the float repr include the decimal point (e.g. `...0.1`). Epoch counts use
     the real (commented-in) values, not the reference's leftover debug value of 3
     (`hyperparam_helpers.py:55,61-62`, SURVEY §2.2.6).
     """
-    rng = np.random.RandomState(seed if seed is not None else int(str(time.time())[-3:]))
+    rng = np.random.RandomState(seed if seed is not None else time.time_ns() % 1000)
     lr = float(rng.choice([1e-4, 5e-4, 1e-3]))
     l2 = float(rng.choice([1e-4, 0.0]))
     if model_type == "CNN":

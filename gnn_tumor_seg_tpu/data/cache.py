@@ -1,0 +1,79 @@
+"""Byte-budgeted LRU cache for padded graphs.
+
+The reference re-parses graph JSON and rebuilds DGL graphs every epoch
+(`data_processing/data_loader.py:67-83`); this framework instead converts each
+sample once to padded GraphBatch arrays and caches them. Unbounded, that cache
+is multiple GB of host RAM at BraTS-2021 scale (1,251 brains x ~1.5 MB padded
+arrays, ~2.3 MB more with Pallas tiling aux attached) — so both caches
+(ImageGraphDataset and GNNTrainer's tiled-aux cache) are LRU with a byte
+budget. Default budget: GTS_GRAPH_CACHE_MB env (MB), else 2048 MB, split
+per cache instance — enough to hold ~500 tiled full-scale graphs; beyond that
+the oldest entries are rebuilt on demand (cheap: a disk read + repad, not a
+JSON parse).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import jax
+
+__all__ = ["LRUBytesCache", "pytree_nbytes", "default_cache_bytes"]
+
+
+def default_cache_bytes() -> int:
+    return int(float(os.environ.get("GTS_GRAPH_CACHE_MB", "2048")) * 2**20)
+
+
+def pytree_nbytes(tree) -> int:
+    """Total bytes of all array leaves (numpy or jax) of a pytree."""
+    return sum(
+        leaf.nbytes
+        for leaf in jax.tree_util.tree_leaves(tree)
+        if hasattr(leaf, "nbytes")
+    )
+
+
+class LRUBytesCache:
+    """An OrderedDict-backed LRU evicting by total stored bytes.
+
+    Values are sized with pytree_nbytes at insert time. A single value larger
+    than the budget is still stored (the cache then holds just that value) so
+    a tiny budget degrades to "cache the current item", never to an error.
+    """
+
+    def __init__(self, max_bytes: int | None = None):
+        self.max_bytes = default_cache_bytes() if max_bytes is None else int(max_bytes)
+        self._data: OrderedDict = OrderedDict()
+        self._sizes: dict = {}
+        self.nbytes = 0
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def __contains__(self, key) -> bool:
+        return key in self._data
+
+    def get(self, key):
+        if key not in self._data:
+            return None
+        self._data.move_to_end(key)
+        return self._data[key]
+
+    def put(self, key, value) -> None:
+        if key in self._data:
+            self._data.move_to_end(key)
+            return
+        size = pytree_nbytes(value)
+        self._data[key] = value
+        self._sizes[key] = size
+        self.nbytes += size
+        while self.nbytes > self.max_bytes and len(self._data) > 1:
+            old_key, _ = self._data.popitem(last=False)
+            self.nbytes -= self._sizes.pop(old_key)
+
+    def clear(self) -> None:
+        self._data.clear()
+        self._sizes.clear()
+        self.nbytes = 0

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..ops.graph import GraphBatch, graph_from_arrays, bucket_size, NODE_BUCKETS, DEGREE_BUCKETS
 from . import nifti, store
+from .cache import LRUBytesCache
 from .image import determine_tumor_crop
 
 __all__ = ["ImageGraphDataset", "PredLogitDataset", "discover_sample_dirs"]
@@ -46,7 +47,7 @@ def discover_sample_dirs(root: str, prefix: str = "") -> dict[str, str]:
 class ImageGraphDataset:
     def __init__(self, root: str, prefix: str = "", read_image: bool = True,
                  read_graph: bool = True, read_label: bool = True,
-                 cache_graphs: bool = True):
+                 cache_graphs: bool = True, cache_bytes: int | None = None):
         assert read_graph or read_image
         self.root = root
         self.read_image = read_image
@@ -55,7 +56,9 @@ class ImageGraphDataset:
         self._dirs = discover_sample_dirs(root, prefix)
         self.ids = list(self._dirs)
         print(f"Found {len(self.ids)} MRIs")
-        self._cache: dict[str, GraphBatch] = {} if cache_graphs else None
+        # byte-bounded LRU (data/cache.py): at BraTS-2021 scale an unbounded
+        # dict holds GBs of padded arrays; evicted graphs repad from disk
+        self._cache = LRUBytesCache(cache_bytes) if cache_graphs else None
         self._budget = None
 
     def __len__(self):
@@ -90,8 +93,10 @@ class ImageGraphDataset:
 
     def get_graph(self, i: int) -> GraphBatch:
         mri_id = self.ids[i]
-        if self._cache is not None and mri_id in self._cache:
-            return self._cache[mri_id]
+        if self._cache is not None:
+            g = self._cache.get(mri_id)
+            if g is not None:
+                return g
         s = self._load_sample(mri_id)
         n_pad, d_pad = self.shape_budget()
         g = graph_from_arrays(
@@ -100,7 +105,7 @@ class ImageGraphDataset:
             n_pad=n_pad, d_pad=d_pad,
         )
         if self._cache is not None:
-            self._cache[mri_id] = g
+            self._cache.put(mri_id, g)
         return g
 
     # ------------------------------------------------------------- volumes

@@ -14,7 +14,28 @@ import numpy as np
 from ..ops.graph import GraphBatch, graph_from_arrays
 from .image import project_nodes_to_img
 
-__all__ = ["SyntheticGraphDataset", "make_synthetic_sample"]
+__all__ = ["SyntheticGraphDataset", "make_synthetic_sample", "random_graph"]
+
+
+def random_graph(rng: np.random.Generator, n_nodes: int, avg_deg: int = 5,
+                 f_dim: int = 7):
+    """Random undirected edge-list graph (both directions stored, parallel
+    edges deduped, isolated nodes possible) — the standard small synthetic
+    graph for tests, benchmarks and the driver dryrun.
+
+    Returns (feats [N,F] f32, src, dst, labels [N] i32)."""
+    m = max(1, n_nodes * avg_deg // 2)
+    a = rng.integers(0, n_nodes, m)
+    b = rng.integers(0, n_nodes, m)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    feats = rng.normal(size=(n_nodes, f_dim)).astype(np.float32)
+    labels = rng.integers(0, 4, n_nodes).astype(np.int32)
+    return feats, src, dst, labels
 
 
 def _knn_edges(centroids: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:

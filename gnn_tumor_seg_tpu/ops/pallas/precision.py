@@ -12,7 +12,8 @@ Two modes for the one-hot-MXU kernels (see gather_agg.py for the numerics):
             one-hot dot count (the train step's compute bound) and the
             byte-bound unique-block gathers. The TRAINER default
             (train/gnn_trainer.py) — convergence parity with "exact" is
-            pinned by tests/test_training.py.
+            pinned by tests/test_training.py::
+            test_fast_vs_exact_convergence_pallas (pallas impl, both modes).
 
 Resolution order: set_precision_mode(...) > GTS_PALLAS_PRECISION env >
 "exact". NOTE: the mode is baked into traced/jitted programs at trace time;
@@ -32,10 +33,19 @@ _MODES = ("exact", "fast")
 _OVERRIDE: str | None = None
 
 
+def _validate(mode: str | None) -> None:
+    if mode is not None and mode not in _MODES:
+        raise ValueError(f"precision mode must be one of {_MODES} or None, "
+                         f"got {mode!r}")
+
+
 def set_precision_mode(mode: str | None) -> None:
-    """Set (or with None, clear) the process-wide kernel precision mode."""
+    """Set (or with None, clear) the process-wide kernel precision mode.
+
+    Not thread-safe: the override is a process global, intended to be set once
+    at startup or used via precision_scope around a trace on one thread."""
     global _OVERRIDE
-    assert mode is None or mode in _MODES, mode
+    _validate(mode)
     _OVERRIDE = mode
 
 
@@ -53,7 +63,7 @@ def precision_scope(mode: str | None):
     is active exactly while its step traces, without leaking a process-global
     override into unrelated code (e.g. parity tests in the same process)."""
     global _OVERRIDE
-    assert mode is None or mode in _MODES, mode
+    _validate(mode)
     prev = _OVERRIDE
     _OVERRIDE = mode
     try:

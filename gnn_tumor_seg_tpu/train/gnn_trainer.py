@@ -58,10 +58,12 @@ class GNNTrainer:
             impl = "pallas" if jax.default_backend() == "tpu" else "dense"
         self.impl = impl
         # kernel precision for TRAINING steps: "fast" (single-pass bf16 — the
-        # TPU-native training norm; convergence parity with "exact" is pinned
-        # by tests) unless overridden by arg or GTS_PALLAS_PRECISION. Scoped to
-        # this trainer's step calls (ops/pallas/precision.py); eval/predict run
-        # the dense f32 path regardless. Library default elsewhere stays exact.
+        # TPU-native training norm; convergence parity with "exact" on the
+        # pallas impl is pinned by tests/test_training.py::
+        # test_fast_vs_exact_convergence_pallas) unless overridden by arg or
+        # GTS_PALLAS_PRECISION. Scoped to this trainer's step calls
+        # (ops/pallas/precision.py); eval/predict run the dense f32 path
+        # regardless. Library default elsewhere stays exact.
         import os as _os
 
         if precision is None:
@@ -78,7 +80,11 @@ class GNNTrainer:
         self.train_data = train_data
         self._dropout_key = jax.random.PRNGKey(seed + 1)
         self._shape_budget = None
-        self._graph_cache: dict[int, GraphBatch] = {}
+        # byte-bounded LRU: tiled aux is ~2.3 MB/graph at full scale, so an
+        # unbounded dict would hold GBs at BraTS-2021 dataset sizes
+        from ..data.cache import LRUBytesCache
+
+        self._graph_cache = LRUBytesCache()
         self._edge_counts: dict[int, int] = {}
         # monotone tiling-U budget (quantized): pins the batch unique budget so
         # the step shape does not float with batch composition (each distinct
@@ -141,10 +147,11 @@ class GNNTrainer:
         g = self._graph_cache.get(i)
         if g is None:
             g = self.train_data.get_graph(i).with_tiled_aux()
-            self._graph_cache[i] = g
-            # host-side count: a device-side sum here would synchronize the
-            # step pipeline on every first-epoch fetch
-            self._edge_counts[i] = int(np.asarray(g.nbr_mask).sum())
+            self._graph_cache.put(i, g)
+            if i not in self._edge_counts:
+                # host-side count: a device-side sum here would synchronize
+                # the step pipeline on every first-epoch fetch
+                self._edge_counts[i] = int(np.asarray(g.nbr_mask).sum())
         return g
 
     def _start_prefetch(self, order) -> None:

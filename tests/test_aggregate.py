@@ -5,23 +5,7 @@ import pytest
 
 from gnn_tumor_seg_tpu.ops.graph import graph_from_arrays, batch_graphs
 from gnn_tumor_seg_tpu.ops.aggregate import aggregate_neighbors
-
-
-def random_graph(rng, n_nodes, avg_deg=5, f_dim=7):
-    # random undirected edges (both directions stored), possibly isolated nodes
-    m = max(1, n_nodes * avg_deg // 2)
-    a = rng.integers(0, n_nodes, m)
-    b = rng.integers(0, n_nodes, m)
-    keep = a != b
-    a, b = a[keep], b[keep]
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    # dedupe parallel edges
-    pairs = np.unique(np.stack([src, dst], 1), axis=0)
-    src, dst = pairs[:, 0], pairs[:, 1]
-    feats = rng.normal(size=(n_nodes, f_dim)).astype(np.float32)
-    labels = rng.integers(0, 4, n_nodes).astype(np.int32)
-    return feats, src, dst, labels
+from gnn_tumor_seg_tpu.data.synthetic import random_graph  # noqa: F401 (re-exported for sibling tests)
 
 
 def oracle_agg(feats, src, dst, op):

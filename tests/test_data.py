@@ -273,3 +273,66 @@ def test_dice_empty_case_and_accuracy():
     gt = np.array([0, 1, 2, 2])
     assert ev.compute_accuracy(pred, gt) == 0.75
     assert ev.compute_accuracy(pred, gt, include_healthy=False) == pytest.approx(2 / 3)
+
+
+def test_lru_bytes_cache_bounds_memory():
+    from gnn_tumor_seg_tpu.data.cache import LRUBytesCache, pytree_nbytes
+
+    item = {"a": np.zeros(1000, np.float32)}  # 4000 bytes
+    assert pytree_nbytes(item) == 4000
+    cache = LRUBytesCache(max_bytes=10_000)  # fits 2 items
+    for i in range(5):
+        cache.put(i, {"a": np.full(1000, i, np.float32)})
+    assert cache.nbytes <= 10_000
+    assert len(cache) == 2
+    assert cache.get(0) is None and cache.get(4) is not None
+    # LRU order: touching 3 keeps it alive over 4
+    assert cache.get(3) is not None
+    cache.put(5, item)
+    assert cache.get(3) is not None and cache.get(4) is None
+    # an oversize single value still caches (degrades, never errors)
+    big = LRUBytesCache(max_bytes=100)
+    big.put("x", item)
+    assert big.get("x") is not None and len(big) == 1
+
+
+def test_dataset_cache_eviction_returns_identical_graphs(tmp_path):
+    from gnn_tumor_seg_tpu.data.dataset import ImageGraphDataset
+    from gnn_tumor_seg_tpu.data.synthetic import random_graph
+
+    from gnn_tumor_seg_tpu.data.graph_build import GraphSample
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        mri_id = f"s{i:02d}"
+        d = tmp_path / mri_id
+        d.mkdir()
+        feats, src, dst, labels = random_graph(rng, 40, f_dim=6)
+        sample = GraphSample(feats=feats, labels=labels,
+                             centroids=rng.normal(size=(40, 3)).astype(np.float32),
+                             src=src.astype(np.int32), dst=dst.astype(np.int32),
+                             sv_partition=None)
+        store.save_graph_npz(str(d / f"{mri_id}_graph.npz"), sample)
+    # budget far below 3 graphs -> constant eviction; contents must not change
+    ds = ImageGraphDataset(str(tmp_path), read_image=False, cache_bytes=1)
+    first = [np.asarray(ds.get_graph(i).feats) for i in range(3)]
+    assert len(ds._cache) <= 1
+    again = [np.asarray(ds.get_graph(i).feats) for i in range(3)]
+    for a, b in zip(first, again):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_trainer_graph_cache_is_bounded(monkeypatch):
+    monkeypatch.setenv("GTS_GRAPH_CACHE_MB", "0.02")  # ~20 KB
+    from gnn_tumor_seg_tpu.config import HyperParams
+    from gnn_tumor_seg_tpu.data.synthetic import SyntheticGraphDataset
+    from gnn_tumor_seg_tpu.train.gnn_trainer import GNNTrainer
+
+    data = SyntheticGraphDataset(n_samples=4, grid=5, seed=0)
+    hp = HyperParams(n_epochs=1, layer_sizes=[16], batch_size=2)
+    trainer = GNNTrainer("GSpool", hp, data, seed=0, impl="pallas",
+                         precision="exact")
+    loss = trainer.run_epoch()
+    assert np.isfinite(loss)
+    assert trainer._graph_cache.nbytes <= trainer._graph_cache.max_bytes or \
+        len(trainer._graph_cache) == 1

@@ -73,6 +73,27 @@ def test_random_hyperparams_reproducible_with_seed():
     assert cnn.n_epochs in (50, 100, 150)
 
 
+def test_random_hyperparams_time_seed_never_crashes(monkeypatch):
+    """Property test for the fixed time-seeding (the reference's
+    `int(str(time.time())[-3:])` crashes whenever the last 3 repr chars
+    include the decimal point, `hyperparam_helpers.py:50`; here the seed is
+    `time_ns() % 1000`). Sweep adversarial clock values, including ones whose
+    float repr would have broken the old expression (e.g. ...0.1, ...5.25)."""
+    import gnn_tumor_seg_tpu.config as config_mod
+
+    adversarial_ns = [
+        0, 1, 999, 1000,
+        int(1700000000.1e9),      # float repr ends "0.1" -> old code crashed
+        int(1700000005.25e9),     # ends ".25"
+        int(1699999999.5e9),
+        1755500000_000_000_000,
+    ] + [1700000000_000_000_000 + i * 123456789 for i in range(50)]
+    for ns in adversarial_ns:
+        monkeypatch.setattr(config_mod.time, "time_ns", lambda ns=ns: ns)
+        hp = random_hyperparameters("GNN")  # must not raise
+        assert hp.n_epochs in (300, 400, 500)
+
+
 def test_sweep_progress_parsing(tmp_path):
     from gnn_tumor_seg_tpu.cli.sweep import parse_progress_file, score_trial
 

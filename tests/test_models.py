@@ -14,7 +14,7 @@ from gnn_tumor_seg_tpu.ops.graph import graph_from_arrays
 from gnn_tumor_seg_tpu.models.sage import GraphSage
 from gnn_tumor_seg_tpu.models.gat import GAT
 from gnn_tumor_seg_tpu.models.refine_cnn import CnnRefinementNet
-from tests.test_aggregate import random_graph
+from gnn_tumor_seg_tpu.data.synthetic import random_graph
 
 
 def relu(x):

@@ -4,14 +4,16 @@ the same kernels compile for TPU (verified on hardware, see bench history).
 Under GTS_PALLAS_PRECISION=fast the kernels intentionally round values to bf16
 (~2^-8 rel, standard bf16-training numerics), so parity tolerances widen."""
 
-import os
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-_FAST = os.environ.get("GTS_PALLAS_PRECISION", "exact") == "fast"
+from gnn_tumor_seg_tpu.ops.pallas.precision import fast_precision
+
+# resolved via the same path the kernels use (set_precision_mode / env), so the
+# oracle+tolerance selection can never desync from actual kernel behavior
+_FAST = fast_precision()
 
 
 def _tol(exact: float) -> dict:
@@ -32,7 +34,7 @@ from gnn_tumor_seg_tpu.ops.aggregate import aggregate_neighbors
 from gnn_tumor_seg_tpu.ops.graph import batch_graphs, graph_from_arrays
 from gnn_tumor_seg_tpu.ops.pallas.gather_agg import aggregate_neighbors_tiled
 from gnn_tumor_seg_tpu.ops.pallas.tiling import build_tiled_aux
-from tests.test_aggregate import random_graph
+from gnn_tumor_seg_tpu.data.synthetic import random_graph
 
 
 def _batch(n_graphs=2, n=220, avg_deg=6, f_dim=16, seed=0):

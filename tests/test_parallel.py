@@ -14,7 +14,7 @@ from gnn_tumor_seg_tpu.parallel.dp import ParallelGNNTrainer
 from gnn_tumor_seg_tpu.parallel.halo import HaloGraphSage, partition_graph
 from gnn_tumor_seg_tpu.parallel.mesh import make_mesh
 from gnn_tumor_seg_tpu.train.losses import weighted_cross_entropy
-from tests.test_aggregate import random_graph
+from gnn_tumor_seg_tpu.data.synthetic import random_graph
 
 
 def test_eight_devices_available():

@@ -100,6 +100,28 @@ def test_training_loss_decreases(model_type):
     assert last < first, (first, last)
 
 
+def test_fast_vs_exact_convergence_pallas():
+    """Pins the trainer's default precision='fast' (single-pass bf16 Pallas
+    kernels) against 'exact' on the SAME pallas impl: both loss trajectories
+    must decrease and track each other closely. This is the test the trainer
+    default points at (train/gnn_trainer.py); it runs the actual Pallas
+    kernels (interpret mode on CPU, compiled on TPU)."""
+    losses = {}
+    for precision in ("exact", "fast"):
+        data = SyntheticGraphDataset(n_samples=4, grid=5, seed=7)
+        hp = small_hp(batch_size=2)
+        trainer = GNNTrainer("GSpool", hp, data, seed=0, impl="pallas",
+                             precision=precision)
+        losses[precision] = [trainer.run_epoch() for _ in range(4)]
+    for precision, traj in losses.items():
+        assert traj[-1] < traj[0], (precision, traj)
+    # trajectories track each other: bf16 rounding shifts losses by O(2^-8)
+    # relative per step, not by a different convergence path
+    diffs = [abs(a - b) / max(abs(a), 1e-6)
+             for a, b in zip(losses["exact"], losses["fast"])]
+    assert max(diffs) < 0.08, (losses, diffs)
+
+
 def test_evaluate_metric_vector():
     data = SyntheticGraphDataset(n_samples=4, grid=5, seed=4)
     trainer = GNNTrainer("GSmean", small_hp(), data, seed=0)
