@@ -43,8 +43,15 @@ def load_cnn_from_checkpoint(weight_file: str):
 def node_logits_to_voxel_logits(node_logits: np.ndarray,
                                 sv_partition: np.ndarray) -> np.ndarray:
     """Append the background placeholder row and gather per voxel
-    (`scripts/generate_gnn_predictions.py:55-62`)."""
-    bg = np.asarray(DEFAULT_BACKGROUND_NODE_LOGITS, node_logits.dtype)
+    (`scripts/generate_gnn_predictions.py:55-62`). The placeholder generalizes
+    the reference's fixed 4-wide [[1,-1,-1,-1]] (`hyperparam_helpers.py:25`) to
+    the logits' class count (e.g. the importable reference CNN asset is
+    5-class, SURVEY §2.2.2)."""
+    n_classes = node_logits.shape[-1]
+    if n_classes == len(DEFAULT_BACKGROUND_NODE_LOGITS[0]):
+        bg = np.asarray(DEFAULT_BACKGROUND_NODE_LOGITS, node_logits.dtype)
+    else:
+        bg = np.asarray([[1.0] + [-1.0] * (n_classes - 1)], node_logits.dtype)
     table = np.concatenate([node_logits, bg])
     return table[sv_partition]
 
