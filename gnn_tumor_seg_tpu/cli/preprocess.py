@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_json", action="store_true",
                    help="Also write reference-compatible networkx node-link JSON")
     p.add_argument("--threads", default=6, type=int)
+    p.add_argument("--weighted", action="store_true",
+                   help="attach Gaussian intensity-similarity edge weights "
+                        "(the reference's weighted-adjacency option, "
+                        "graphgen.py:142-150)")
     return p
 
 
@@ -50,6 +54,7 @@ def main(argv=None) -> None:
         label_extension=args.label_extension,
         save_json=args.save_json,
         n_threads=args.threads,
+        weighted=args.weighted,
     )
     pre.run()
     print(f"Finished preprocessing data from {args.data_dir}.")

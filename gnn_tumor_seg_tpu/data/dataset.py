@@ -103,6 +103,7 @@ class ImageGraphDataset:
             s.feats, s.src, s.dst,
             labels=s.labels if self.read_label else None,
             n_pad=n_pad, d_pad=d_pad,
+            edge_weights=s.edge_weights,
         )
         if self._cache is not None:
             self._cache.put(mri_id, g)

@@ -42,6 +42,7 @@ class GraphSample:
     src: np.ndarray            # int32 [E] (both directions for undirected)
     dst: np.ndarray            # int32 [E]
     sv_partition: np.ndarray   # int16 volume, -1 = background
+    edge_weights: np.ndarray | None = None  # f32 [E], aligned with src/dst
 
     @property
     def n_nodes(self) -> int:
@@ -127,11 +128,13 @@ def intensity_edge_weights(feats: np.ndarray, src: np.ndarray,
     """Gaussian similarity weights per edge from node feature distances.
 
     Capability match for the weighted adjacency option of
-    `graphgen.py:120-153` (weighted=True): distances normalized by the global
-    max, then w = exp(-d^2 / (2 sigma^2)). Computed per edge instead of as an
-    O(N^2) cdist. The reference never consumes these downstream (img2graph
-    passes weighted=False); provided for parity and for weighted-graph
-    experiments."""
+    `graphgen.py:120-153` (weighted=True): distances normalized by the max,
+    then w = exp(-d^2 / (2 sigma^2)). Computed per edge instead of as an
+    O(N^2) cdist; the normalizer is therefore the max over *edges* rather than
+    over all pairs (a scale factor inside the Gaussian — the reference never
+    consumes these downstream anyway; img2graph passes weighted=False).
+    Weights are symmetric (w_uv == w_vu), which the scatter-free weighted
+    backward in ops/aggregate.py relies on."""
     d = np.linalg.norm(feats[src] - feats[dst], axis=1)
     d_all = d / max(float(d.max()), 1e-12)
     return np.exp(-(d_all ** 2) / (2 * sigma ** 2)).astype(np.float32)
@@ -212,11 +215,15 @@ def build_graph_sample(
     boxiness: float = 0.5,
     k: int | None = 10,
     slic_fn=None,
+    weighted: bool = False,
 ) -> GraphSample:
     """Full image -> graph conversion (reference: img2graph, `graphgen.py:240-267`).
 
     k > 0: regular kNN adjacency on centroids. k in (0, None): contiguity
     adjacency with self-loops. slic_fn allows substituting the TPU SLIC.
+    weighted=True attaches Gaussian intensity-similarity edge weights (the
+    reference's weighted-adjacency option, `graphgen.py:142-150`, which its
+    pipeline computes but never passes — img2graph hardcodes weighted=False).
     """
     labels_provided = voxel_labels is not None
     multi = voxel_intensities.ndim == 4
@@ -257,10 +264,14 @@ def build_graph_sample(
         src, dst = knn_adjacency_edges(centroids, k)
     else:
         src, dst = contiguity_edges(partition, n_nodes)
+    edge_weights = None
+    if weighted:
+        edge_weights = intensity_edge_weights(feats.astype(np.float32), src, dst)
     return GraphSample(
         feats=feats.astype(np.float32),
         labels=labels.astype(np.int32) if labels_provided else None,
         centroids=centroids,
         src=src, dst=dst,
         sv_partition=partition,
+        edge_weights=edge_weights,
     )

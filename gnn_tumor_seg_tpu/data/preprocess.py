@@ -43,7 +43,7 @@ class DataPreprocessor:
                  modality_extensions=None, label_extension: str | None = None,
                  standardization_stats=STANDARDIZATION_STATS,
                  save_json: bool = False, n_threads: int = N_THREADS,
-                 slic_fn=None):
+                 slic_fn=None, weighted: bool = False):
         self.num_nodes = num_nodes
         self.num_neighbors = num_neighbors or None   # 0 -> contiguity mode
         self.boxiness = boxiness
@@ -55,6 +55,7 @@ class DataPreprocessor:
         self.save_json = save_json
         self.n_threads = n_threads
         self.slic_fn = slic_fn
+        self.weighted = weighted
 
         self.all_ids, self.id_to_fp = self._discover(mri_prefix)
         stats = (self.compute_dataset_stats()
@@ -117,7 +118,7 @@ class DataPreprocessor:
         image, labels, crop, orig_shape = self.get_standardized_image(self.id_to_fp[mri_id])
         sample = build_graph_sample(
             image, labels, self.num_nodes, self.boxiness, self.num_neighbors,
-            slic_fn=self.slic_fn,
+            slic_fn=self.slic_fn, weighted=self.weighted,
         )
         out = os.path.join(self.output_dir, mri_id)
         os.makedirs(out, exist_ok=True)

@@ -36,6 +36,8 @@ def save_graph_npz(fp: str, sample: GraphSample) -> None:
     }
     if sample.labels is not None:
         payload["labels"] = sample.labels.astype(np.int32)
+    if sample.edge_weights is not None:
+        payload["edge_weights"] = sample.edge_weights.astype(np.float32)
     np.savez(fp, **payload)
 
 
@@ -47,6 +49,7 @@ def load_graph_npz(fp: str) -> GraphSample:
             centroids=z["centroids"],
             src=z["src"], dst=z["dst"],
             sv_partition=None,  # stored separately as a nifti volume
+            edge_weights=z["edge_weights"] if "edge_weights" in z.files else None,
         )
 
 
@@ -70,10 +73,17 @@ def save_networkx_json(fp: str, sample: GraphSample) -> None:
         nodes.append(node)
     # store each undirected edge once (source < target, plus self-loops once)
     mask = sample.src <= sample.dst
-    links = [
-        {"source": int(s), "target": int(t)}
-        for s, t in zip(sample.src[mask], sample.dst[mask])
-    ]
+    if sample.edge_weights is not None:
+        links = [
+            {"source": int(s), "target": int(t), "weight": float(w)}
+            for s, t, w in zip(sample.src[mask], sample.dst[mask],
+                               sample.edge_weights[mask])
+        ]
+    else:
+        links = [
+            {"source": int(s), "target": int(t)}
+            for s, t in zip(sample.src[mask], sample.dst[mask])
+        ]
     doc = {"directed": False, "multigraph": False, "graph": {},
            "nodes": nodes, "links": links}
     d = os.path.dirname(os.path.abspath(fp))
@@ -101,10 +111,15 @@ def load_networkx_json(fp: str) -> GraphSample:
     links = doc.get("links", doc.get("edges", []))
     s = np.asarray([id_to_idx[l["source"]] for l in links], np.int32)
     t = np.asarray([id_to_idx[l["target"]] for l in links], np.int32)
+    w = None
+    if links and "weight" in links[0]:
+        w = np.asarray([l["weight"] for l in links], np.float32)
     if not doc.get("directed", False):
         non_loop = s != t
         src = np.concatenate([s, t[non_loop]])
         dst = np.concatenate([t, s[non_loop]])
+        if w is not None:
+            w = np.concatenate([w, w[non_loop]])
     else:
         src, dst = s, t
     return GraphSample(
@@ -112,4 +127,5 @@ def load_networkx_json(fp: str) -> GraphSample:
         centroids=np.zeros((len(ids), 3), np.float32),
         src=src.astype(np.int32), dst=dst.astype(np.int32),
         sv_partition=None,
+        edge_weights=w,
     )

@@ -71,12 +71,17 @@ def sage_conv_apply(
         aggregate_neighbors, nbr=graph.nbr, nbr_mask=graph.nbr_mask,
         impl=impl, tiled=graph.tiled,
     )
+    # weighted graphs (GraphBatch.edge_weight): mean becomes a weighted
+    # average, gcn's sum and degree become weighted; pool's max is unweighted
+    # by construction (ops/aggregate.py)
+    ew = graph.edge_weight
     if aggregator == "mean":
-        h_n = agg(h, op="mean")
+        h_n = agg(h, op="mean", edge_weight=ew)
         out = h @ params["w_self"] + h_n @ params["w_neigh"]
     elif aggregator == "gcn":
-        s = agg(h, op="sum")
-        deg = jnp.sum(graph.nbr_mask, axis=-1, keepdims=True)  # [B, N, 1]
+        s = agg(h, op="sum", edge_weight=ew)
+        w_mask = graph.nbr_mask if ew is None else graph.nbr_mask * ew
+        deg = jnp.sum(w_mask, axis=-1, keepdims=True)  # [B, N, 1]
         h_n = (s + h) / (deg + 1.0)
         out = h_n @ params["w_neigh"]
     elif aggregator == "pool":

@@ -182,6 +182,59 @@ def _agg_symmetric_bwd(op, impl, res, gout):
 _agg_symmetric.defvjp(_agg_symmetric_fwd, _agg_symmetric_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Weighted aggregation (per-slot edge weights, GraphBatch.edge_weight):
+#   sum : out_v = sum_d w_vd h_{nbr[v,d]}
+#   mean: weighted average  sum_d w h / max(sum_d w, eps)
+# Backward on symmetric graphs with symmetric weights (w_uv == w_vu — true for
+# the intensity-similarity weights of `mri2graph/graphgen.py:120-153`) is
+# itself a weighted gather-reduce over the SAME table (scatter-free), plus a
+# per-slot dot for grad(w).
+# ---------------------------------------------------------------------------
+
+
+def _wagg_fwd_impl(h, w, nbr, nbr_mask, op):
+    g = gather_neighbors(h, nbr)                      # [B, N, D, F]
+    wm = (nbr_mask * w)[..., None]                    # [B, N, D, 1]
+    s = jnp.sum(g * wm, axis=-2)
+    if op == "sum":
+        return s
+    denom = jnp.maximum(jnp.sum(nbr_mask * w, axis=-1, keepdims=True), 1e-12)
+    return s / denom
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _wagg_symmetric(h, w, nbr, nbr_mask, op):
+    return _wagg_fwd_impl(h, w, nbr, nbr_mask, op)
+
+
+def _wagg_symmetric_fwd(h, w, nbr, nbr_mask, op):
+    out = _wagg_fwd_impl(h, w, nbr, nbr_mask, op)
+    return out, (h, w, nbr, nbr_mask, out)
+
+
+def _wagg_symmetric_bwd(op, res, gout):
+    h, w, nbr, nbr_mask, out = res
+    if op == "sum":
+        g_scaled = gout
+    else:
+        denom = jnp.maximum(jnp.sum(nbr_mask * w, axis=-1, keepdims=True), 1e-12)
+        g_scaled = gout / denom
+    # grad_h[u] = sum_d w[u,d] g_scaled[nbr[u,d]]   (symmetric w + table)
+    grad_h = _wagg_fwd_impl(g_scaled, w, nbr, nbr_mask, "sum")
+    g_h = gather_neighbors(h, nbr)                    # [B, N, D, F]
+    if op == "sum":
+        grad_w = jnp.einsum("bnf,bndf->bnd", gout, g_h)
+    else:
+        grad_w = jnp.einsum("bnf,bndf->bnd", g_scaled,
+                            g_h - out[:, :, None, :])
+    grad_w = grad_w * nbr_mask
+    return grad_h, grad_w, None, None
+
+
+_wagg_symmetric.defvjp(_wagg_symmetric_fwd, _wagg_symmetric_bwd)
+
+
 def aggregate_neighbors(
     h: jax.Array,
     nbr: jax.Array,
@@ -190,6 +243,7 @@ def aggregate_neighbors(
     impl: str | None = None,
     symmetric: bool = True,
     tiled=None,
+    edge_weight: jax.Array | None = None,
 ) -> jax.Array:
     """Aggregate neighbor features per destination node.
 
@@ -199,9 +253,19 @@ def aggregate_neighbors(
     False for directed neighbor tables to fall back to autodiff scatter.
     impl='pallas' uses the one-hot MXU kernels (requires `tiled` — the
     GraphBatch.with_tiled_aux() tables — and a symmetric graph).
+    edge_weight [B, N, D] (sum/mean only) weights each in-edge; mean becomes a
+    weighted average. Weighted aggregation runs the dense path (the Pallas
+    kernels are unweighted; weighted graphs are an offline capability — the
+    reference computes but never consumes weights, `graphgen.py:120-153`).
     """
     assert op in _VALID_OPS, op
     impl = impl or _DEFAULT_IMPL
+    if edge_weight is not None:
+        if op == "max":
+            raise ValueError("edge weights apply to sum/mean aggregation only")
+        if symmetric:
+            return _wagg_symmetric(h, edge_weight, nbr, nbr_mask, op)
+        return _wagg_fwd_impl(h, edge_weight, nbr, nbr_mask, op)
     if impl == "pallas":
         assert tiled is not None, (
             "impl='pallas' needs tile-compaction tables: call "

@@ -76,6 +76,12 @@ class GraphBatch:
     feats: jax.Array      # f32   [B, N, F]
     labels: jax.Array | None  # int32 [B, N] or None
     n_nodes: jax.Array    # int32 [B]
+    # optional per-edge weights aligned with nbr slots: edge_weight[b, v, d] is
+    # the weight of the edge nbr[b, v, d] -> v (padded slots 0). Produced by the
+    # weighted-adjacency option (`mri2graph/graphgen.py:120-153` weighted=True,
+    # data/graph_build.intensity_edge_weights); consumed by sum/mean
+    # aggregation (ops/aggregate.py)
+    edge_weight: jax.Array | None = None
     # optional tile-compaction tables for the Pallas aggregation kernels
     # (ops/pallas/); None unless with_tiled_aux() has been called
     tiled: object | None = None
@@ -117,6 +123,7 @@ def ell_from_edges(
     dst: np.ndarray,
     n_pad: int | None = None,
     d_pad: int | None = None,
+    edge_vals: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side: COO edge list -> padded neighbor table.
 
@@ -124,7 +131,9 @@ def ell_from_edges(
     (per-destination aggregation semantics of DGL's update_all; edges here are
     already stored in both directions for undirected graphs).
 
-    Returns (nbr int32 [n_pad, d_pad], nbr_mask float32 [n_pad, d_pad]).
+    Returns (nbr int32 [n_pad, d_pad], nbr_mask float32 [n_pad, d_pad]); with
+    edge_vals (a float per COO edge, e.g. weights), returns a third
+    float32 [n_pad, d_pad] table slotted identically.
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
@@ -151,6 +160,10 @@ def ell_from_edges(
     )
     nbr[d_sorted, slot] = s_sorted
     mask[d_sorted, slot] = 1.0
+    if edge_vals is not None:
+        vals = np.zeros((n_pad, d_pad), dtype=np.float32)
+        vals[d_sorted, slot] = np.asarray(edge_vals, np.float32)[order]
+        return nbr, mask, vals
     return nbr, mask
 
 
@@ -176,10 +189,19 @@ def graph_from_arrays(
     labels: np.ndarray | None = None,
     n_pad: int | None = None,
     d_pad: int | None = None,
+    edge_weights: np.ndarray | None = None,
 ) -> GraphBatch:
-    """Host-side: build a B=1 GraphBatch from numpy node features + COO edges."""
+    """Host-side: build a B=1 GraphBatch from numpy node features + COO edges.
+
+    edge_weights (optional, one float per COO edge) lands on the slotted
+    GraphBatch.edge_weight table."""
     n_nodes, f_dim = feats.shape
-    nbr, mask = ell_from_edges(n_nodes, src, dst, n_pad=n_pad, d_pad=d_pad)
+    w_tab = None
+    if edge_weights is not None:
+        nbr, mask, w_tab = ell_from_edges(n_nodes, src, dst, n_pad=n_pad,
+                                          d_pad=d_pad, edge_vals=edge_weights)
+    else:
+        nbr, mask = ell_from_edges(n_nodes, src, dst, n_pad=n_pad, d_pad=d_pad)
     n_pad = nbr.shape[0]
     feats_p = np.zeros((n_pad, f_dim), dtype=np.float32)
     feats_p[:n_nodes] = feats
@@ -197,6 +219,7 @@ def graph_from_arrays(
         feats=jnp.asarray(feats_p)[None],
         labels=labels_p,
         n_nodes=jnp.asarray([n_nodes], dtype=np.int32),
+        edge_weight=None if w_tab is None else jnp.asarray(w_tab)[None],
     )
 
 
@@ -244,6 +267,7 @@ def batch_graphs(
                 lidx=cat([g.tiled.lidx for g in graphs]),
                 rslot=cat([g.tiled.rslot for g in graphs]),
             )
+        has_w = all(g.edge_weight is not None for g in graphs)
         out = GraphBatch(
             nbr=cat([g.nbr for g in graphs]),
             nbr_mask=cat([g.nbr_mask for g in graphs]),
@@ -251,6 +275,7 @@ def batch_graphs(
             feats=cat([g.feats for g in graphs]),
             labels=(cat([g.labels for g in graphs]) if has_labels else None),
             n_nodes=cat([g.n_nodes for g in graphs]),
+            edge_weight=(cat([g.edge_weight for g in graphs]) if has_w else None),
             tiled=tiled,
         )
         if tiled is None and any(g.tiled is not None for g in graphs):
@@ -296,6 +321,11 @@ def batch_graphs(
         tiled = TiledAux(uniq=jnp.asarray(uniq), lidx=jnp.asarray(lidx),
                          rslot=jnp.asarray(rslot))
 
+    edge_weight = None
+    if all(g.edge_weight is not None for g in graphs):
+        edge_weight = jnp.asarray(np.concatenate(
+            [pad_to(g.edge_weight, n_pad, d_pad) for g in graphs]))
+
     out = GraphBatch(
         nbr=jnp.asarray(nbr),
         nbr_mask=jnp.asarray(nbr_mask),
@@ -303,6 +333,7 @@ def batch_graphs(
         feats=jnp.asarray(feats),
         labels=labels,
         n_nodes=jnp.asarray(n_nodes, dtype=np.int32),
+        edge_weight=edge_weight,
         tiled=tiled,
     )
     if tiled is None and any(g.tiled is not None for g in graphs):

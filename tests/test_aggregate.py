@@ -67,3 +67,100 @@ def test_graph_batch_shapes():
     assert g.max_degree in DEGREE_BUCKETS
     assert int(g.n_nodes[0]) == 100
     assert float(np.asarray(g.node_mask).sum()) == 100
+
+
+# ------------------------------------------------------------ edge weights
+def _symmetric_edge_weights(rng, src, dst):
+    """w_uv == w_vu via a symmetric hash of the endpoints."""
+    lo = np.minimum(src, dst).astype(np.float64)
+    hi = np.maximum(src, dst).astype(np.float64)
+    return (0.1 + np.abs(np.sin(lo * 12.9898 + hi * 78.233))).astype(np.float32)
+
+
+def _weighted_oracle(feats, src, dst, w, op):
+    n = feats.shape[0]
+    s = np.zeros_like(feats)
+    tot = np.zeros(n)
+    for a, b, ww in zip(src, dst, w):
+        s[b] += ww * feats[a]
+        tot[b] += ww
+    if op == "sum":
+        return s
+    return s / np.maximum(tot, 1e-12)[:, None]
+
+
+@pytest.mark.parametrize("op", ["sum", "mean"])
+def test_weighted_aggregation_matches_oracle(op):
+    import jax
+    import jax.numpy as jnp
+    from gnn_tumor_seg_tpu.data.synthetic import random_graph as rg
+
+    rng = np.random.default_rng(21)
+    feats, src, dst, labels = rg(rng, 45, avg_deg=5, f_dim=9)
+    w = _symmetric_edge_weights(rng, src, dst)
+    g = graph_from_arrays(feats, src, dst, labels, edge_weights=w)
+    got = aggregate_neighbors(g.feats, g.nbr, g.nbr_mask, op,
+                              edge_weight=g.edge_weight)
+    want = _weighted_oracle(feats, src, dst, w, op)
+    np.testing.assert_allclose(np.asarray(got)[0, :45], want,
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("op", ["sum", "mean"])
+def test_weighted_aggregation_gradients_match_autodiff(op):
+    """The scatter-free symmetric weighted VJP vs plain autodiff through the
+    dense formula — both grad(h) and grad(w)."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_tumor_seg_tpu.data.synthetic import random_graph as rg
+    from gnn_tumor_seg_tpu.ops.aggregate import _wagg_fwd_impl
+
+    rng = np.random.default_rng(22)
+    feats, src, dst, labels = rg(rng, 30, avg_deg=4, f_dim=5)
+    w = _symmetric_edge_weights(rng, src, dst)
+    g = graph_from_arrays(feats, src, dst, labels, edge_weights=w)
+    R = jnp.asarray(rng.normal(size=g.feats.shape).astype(np.float32))
+
+    def loss_custom(h, ew):
+        out = aggregate_neighbors(h, g.nbr, g.nbr_mask, op, edge_weight=ew)
+        return jnp.sum(out * R)
+
+    def loss_autodiff(h, ew):
+        return jnp.sum(_wagg_fwd_impl(h, ew, g.nbr, g.nbr_mask, op) * R)
+
+    gh_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(g.feats, g.edge_weight)
+    gh_a, gw_a = jax.grad(loss_autodiff, argnums=(0, 1))(g.feats, g.edge_weight)
+    np.testing.assert_allclose(np.asarray(gh_c), np.asarray(gh_a),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_a),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_weighted_max_rejected():
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError):
+        aggregate_neighbors(jnp.zeros((1, 4, 2)), jnp.zeros((1, 4, 3), jnp.int32),
+                            jnp.zeros((1, 4, 3)), "max",
+                            edge_weight=jnp.zeros((1, 4, 3)))
+
+
+def test_weighted_batch_and_unit_weights_match_unweighted():
+    import jax.numpy as jnp
+    from gnn_tumor_seg_tpu.data.synthetic import random_graph as rg
+
+    rng = np.random.default_rng(23)
+    graphs = []
+    for i in range(2):
+        feats, src, dst, labels = rg(rng, 25 + i * 5, avg_deg=4, f_dim=6)
+        w = np.ones(len(src), np.float32)
+        graphs.append(graph_from_arrays(feats, src, dst, labels,
+                                        edge_weights=w, n_pad=64, d_pad=8))
+    batch = batch_graphs(graphs)
+    assert batch.edge_weight is not None and batch.edge_weight.shape == batch.nbr_mask.shape
+    for op in ("sum", "mean"):
+        weighted = aggregate_neighbors(batch.feats, batch.nbr, batch.nbr_mask,
+                                       op, edge_weight=batch.edge_weight)
+        plain = aggregate_neighbors(batch.feats, batch.nbr, batch.nbr_mask, op)
+        np.testing.assert_allclose(np.asarray(weighted), np.asarray(plain),
+                                   rtol=1e-5, atol=1e-6)

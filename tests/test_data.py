@@ -336,3 +336,51 @@ def test_trainer_graph_cache_is_bounded(monkeypatch):
     assert np.isfinite(loss)
     assert trainer._graph_cache.nbytes <= trainer._graph_cache.max_bytes or \
         len(trainer._graph_cache) == 1
+
+
+def test_weighted_graph_store_roundtrips_and_trains(tmp_path):
+    """Weighted-adjacency capability (`mri2graph/graphgen.py:120-153`
+    weighted=True): weights survive npz AND node-link JSON roundtrips, load
+    into GraphBatch.edge_weight, and change GSmean's forward."""
+    import jax
+    from gnn_tumor_seg_tpu.data.graph_build import intensity_edge_weights
+    from gnn_tumor_seg_tpu.data.synthetic import random_graph
+    from gnn_tumor_seg_tpu.models.sage import GraphSage
+    from gnn_tumor_seg_tpu.ops.graph import graph_from_arrays
+
+    rng = np.random.default_rng(30)
+    feats, src, dst, labels = random_graph(rng, 35, f_dim=20)
+    w = intensity_edge_weights(feats, src, dst)
+    assert w.shape == src.shape and (w > 0).all() and (w <= 1).all()
+    # symmetric: weight of (u,v) equals (v,u)
+    lut = {(int(a), int(b)): float(x) for a, b, x in zip(src, dst, w)}
+    assert all(abs(lut[(b, a)] - x) < 1e-6 for (a, b), x in lut.items())
+
+    s = GraphSample(feats=feats, labels=labels,
+                    centroids=rng.normal(size=(35, 3)).astype(np.float32),
+                    src=src.astype(np.int32), dst=dst.astype(np.int32),
+                    sv_partition=None, edge_weights=w)
+    fp_npz = str(tmp_path / "g.npz")
+    store.save_graph_npz(fp_npz, s)
+    back = store.load_graph_npz(fp_npz)
+    np.testing.assert_allclose(back.edge_weights, w, rtol=1e-6)
+
+    fp_json = str(tmp_path / "g.json")
+    store.save_networkx_json(fp_json, s)
+    back_j = store.load_networkx_json(fp_json)
+    lut_j = {(int(a), int(b)): float(x) for a, b, x in
+             zip(back_j.src, back_j.dst, back_j.edge_weights)}
+    assert all(abs(lut_j[k] - v) < 1e-5 for k, v in lut.items())
+
+    g_w = graph_from_arrays(back.feats, back.src, back.dst, back.labels,
+                            edge_weights=back.edge_weights)
+    g_u = graph_from_arrays(feats, src, dst, labels)
+    model = GraphSage(20, [8], 4, "mean")
+    params = model.init(jax.random.PRNGKey(0))
+    out_w = np.asarray(model.apply(params, g_w))
+    out_u = np.asarray(model.apply(params, g_u))
+    assert not np.allclose(out_w, out_u)  # weights actually consumed
+    # and gradients flow
+    grads = jax.grad(lambda p: float(0) + (model.apply(p, g_w) ** 2).sum())(params)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(grads))
