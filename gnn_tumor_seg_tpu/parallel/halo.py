@@ -33,11 +33,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from ..models.gat import GAT
 from ..models.sage import GraphSage
 from ..train.losses import weighted_cross_entropy
 
 __all__ = ["PartitionedGraph", "partition_graph", "HaloGraphSage",
-           "partition_graph_p2p", "HaloGraphSageP2P"]
+           "partition_graph_p2p", "HaloGraphSageP2P",
+           "HaloGAT", "HaloGATP2P", "extend_halo", "exchange_bytes_per_step"]
 
 _NEG_LARGE = -1e30
 
@@ -294,6 +296,19 @@ def partition_graph_p2p(feats: np.ndarray, src: np.ndarray, dst: np.ndarray,
     return pg, W
 
 
+def extend_halo(h, axis: str, W: int):
+    """[N_shard, F] -> [W + N_shard + W, F] via two ring ppermutes: receive the
+    left neighbor's LAST W rows and the right neighbor's FIRST W rows."""
+    n_dev = jax.lax.axis_size(axis)
+    from_left = jax.lax.ppermute(
+        h[-W:], axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    )
+    from_right = jax.lax.ppermute(
+        h[:W], axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    )
+    return jnp.concatenate([from_left, h, from_right], axis=0)
+
+
 class HaloGraphSageP2P(HaloGraphSage):
     """GraphSage over a p2p-partitioned graph: per layer, each device exchanges
     only its 2*W boundary rows with its ring neighbors via ppermute (ICI),
@@ -307,17 +322,7 @@ class HaloGraphSageP2P(HaloGraphSage):
         self.halo_width = halo_width
 
     def _extend(self, h, axis):
-        """[N_shard, F] -> [W + N_shard + W, F] via two ring ppermutes."""
-        W = self.halo_width
-        n_dev = jax.lax.axis_size(axis)
-        # receive the left neighbor's LAST W rows, and the right's FIRST W
-        from_left = jax.lax.ppermute(
-            h[-W:], axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        )
-        from_right = jax.lax.ppermute(
-            h[:W], axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
-        )
-        return jnp.concatenate([from_left, h, from_right], axis=0)
+        return extend_halo(h, axis, self.halo_width)
 
     def _layer(self, lp, h, nbr, mask, axis, last):
         agg = self.aggregator
@@ -337,3 +342,160 @@ class HaloGraphSageP2P(HaloGraphSage):
             out = ((s + h) / (deg + 1.0)) @ lp["w_neigh"]
         out = out + lp["bias"]
         return out if last else jax.nn.relu(out)
+
+
+# ---------------------------------------------------------------------------
+# GAT over a partitioned graph
+# ---------------------------------------------------------------------------
+
+
+class HaloGAT:
+    """GAT forward/loss over a PartitionedGraph via shard_map.
+
+    The attention logits decompose into src + dst scalar terms (models/gat.py),
+    so the halo exchange per layer moves ONE packed [z | el] table — the
+    projected per-head features plus the src attention terms — and the edge
+    softmax + combine then run entirely shard-locally. Numerics are identical
+    to models.gat.GAT on the same graph (tested); the parameter pytrees are
+    shared with it, so checkpoints run single-chip or partitioned.
+    Reference semantics: `model/networks.py:39-66`.
+    """
+
+    def __init__(self, in_feats, layer_sizes, n_classes, heads, residuals,
+                 mesh: Mesh, axis: str = "data", negative_slope: float = 0.2):
+        self.base = GAT(in_feats, layer_sizes, n_classes, heads, residuals,
+                        negative_slope=negative_slope)
+        self.mesh = mesh
+        self.axis = axis
+        self.negative_slope = negative_slope
+
+    @property
+    def specs(self):
+        return self.base.specs
+
+    def init(self, key):
+        return self.base.init(key)
+
+    def _exchange(self, packed, axis):
+        return jax.lax.all_gather(packed, axis, tiled=True)
+
+    def _layer(self, lp, h, nbr, mask, axis, spec, last):
+        f_in, f_out, heads, residual = spec
+        ns = h.shape[0]
+        z = (h @ lp["w"]).reshape(ns, heads, f_out)
+        el = jnp.einsum("nhf,hf->nh", z, lp["attn_l"])
+        er = jnp.einsum("nhf,hf->nh", z, lp["attn_r"])
+        packed = jnp.concatenate([z.reshape(ns, heads * f_out), el], axis=-1)
+        full = self._exchange(packed, axis)               # halo exchange
+        el_src = full[:, heads * f_out:][nbr]             # [ns, D, heads]
+        e = jax.nn.leaky_relu(el_src + er[:, None, :], self.negative_slope)
+        e = jnp.where(mask[..., None] > 0, e, _NEG_LARGE)
+        e = e - jax.lax.stop_gradient(jnp.max(e, axis=1, keepdims=True))
+        w = jnp.exp(e) * mask[..., None]
+        alpha = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-20)
+        z_src = full[:, :heads * f_out][nbr].reshape(ns, -1, heads, f_out)
+        out = jnp.einsum("ndh,ndhf->nhf", alpha, z_src)
+        if residual:
+            res = (h @ lp["w_res"] if "w_res" in lp else h).reshape(
+                ns, heads, f_out)
+            out = out + res
+        out = out + lp["bias"].reshape(heads, f_out)
+        if last:
+            return jnp.mean(out, axis=1)                  # mean heads -> [ns, C]
+        return jax.nn.elu(out).reshape(ns, heads * f_out)
+
+    def apply(self, params, pg: PartitionedGraph) -> jax.Array:
+        """-> logits [S, N_shard, C]."""
+        axis = self.axis
+        specs = self.base.specs
+        n_layers = len(specs)
+
+        def shard_fwd(params, feats, nbr, mask):
+            h = feats[0]
+            nbr_, mask_ = nbr[0], mask[0]
+            for i, (lp, spec) in enumerate(zip(params, specs)):
+                h = self._layer(lp, h, nbr_, mask_, axis, spec,
+                                last=(i == n_layers - 1))
+            return h[None]
+
+        fwd = shard_map(
+            shard_fwd,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+        )
+        return fwd(params, pg.feats, pg.nbr, pg.nbr_mask)
+
+    def loss(self, params, pg: PartitionedGraph, class_weights) -> jax.Array:
+        logits = self.apply(params, pg)
+        return weighted_cross_entropy(logits, pg.labels, class_weights,
+                                      pg.node_mask)
+
+
+class HaloGATP2P(HaloGAT):
+    """GAT with boundary-only halo exchange: the packed [z | el] boundary rows
+    ppermute to ring neighbors (2*W rows/device/layer over ICI) instead of
+    all-gathering the whole table. Requires a partition_graph_p2p graph."""
+
+    def __init__(self, in_feats, layer_sizes, n_classes, heads, residuals,
+                 mesh: Mesh, halo_width: int, axis: str = "data",
+                 negative_slope: float = 0.2):
+        super().__init__(in_feats, layer_sizes, n_classes, heads, residuals,
+                         mesh, axis=axis, negative_slope=negative_slope)
+        self.halo_width = halo_width
+
+    def _exchange(self, packed, axis):
+        return extend_halo(packed, axis, self.halo_width)
+
+
+# ---------------------------------------------------------------------------
+# ICI traffic accounting
+# ---------------------------------------------------------------------------
+
+
+def exchange_widths(model) -> list[int]:
+    """Per-layer width (f32 lanes) of the halo-exchanged table.
+
+    GraphSage exchanges the (projected) node features: the layer INPUT width
+    (pool projects through the square w_pool first, same width). GAT exchanges
+    the packed [z | el] block: heads*out + heads.
+    """
+    base = getattr(model, "base", model)
+    if isinstance(base, GraphSage):
+        return list(base.dims[:-1])
+    if isinstance(base, GAT):
+        return [fo * h + h for (_, fo, h, _) in base.specs]
+    raise TypeError(f"unknown halo model {type(model)!r}")
+
+
+def exchange_bytes_per_step(model, pg: PartitionedGraph, variant: str,
+                            halo_width: int | None = None,
+                            dtype_bytes: int = 4) -> dict:
+    """Analytic ICI bytes moved per device per optimizer step (fwd + bwd).
+
+    all_gather: each device receives the other S-1 shards of the exchanged
+    table per layer (and the backward moves the mirrored cotangents:
+    all_gather's transpose is reduce_scatter — same volume). ppermute: each
+    device sends/receives 2*W boundary rows per layer, likewise doubled for
+    the backward. Numbers are exact for ring implementations of these
+    collectives (bytes crossing each device's ICI links).
+    """
+    widths = exchange_widths(model)
+    s, n_shard = pg.n_parts, pg.shard_size
+    if variant == "all_gather":
+        rows = (s - 1) * n_shard
+    elif variant == "p2p":
+        assert halo_width is not None, "p2p accounting needs halo_width"
+        rows = 2 * halo_width
+    else:
+        raise ValueError(variant)
+    fwd = sum(w * rows * dtype_bytes for w in widths)
+    return {
+        "variant": variant,
+        "n_parts": s,
+        "shard_rows": n_shard,
+        "rows_exchanged_per_layer": rows,
+        "layer_widths": widths,
+        "fwd_bytes_per_device": fwd,
+        "step_bytes_per_device": 2 * fwd,   # + backward cotangent exchange
+    }

@@ -173,3 +173,195 @@ def test_halo_p2p_rejects_nonlocal_edges():
     dst = np.array([63, 0], np.int32)  # spans shard 0 -> shard 7
     with pytest.raises(ValueError):
         partition_graph_p2p(feats, src, dst, None, n_parts=8)
+
+
+# ---------------------------------------------------------------------------
+# GAT over the partitioned graph
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("variant", ["all_gather", "p2p"])
+def test_halo_gat_matches_single_device(variant):
+    """HaloGAT / HaloGATP2P == models.gat.GAT numerics on the same graph."""
+    from gnn_tumor_seg_tpu.models.gat import GAT
+    from gnn_tumor_seg_tpu.parallel.halo import (HaloGAT, HaloGATP2P,
+                                                 partition_graph,
+                                                 partition_graph_p2p)
+
+    n = 128
+    rng = np.random.default_rng(14)
+    # 1-shard-local edges so both variants run on the same graph
+    src_l, dst_l = [], []
+    for off in (1, 2, 3):
+        a = np.arange(0, n - off)
+        src_l += [a, a + off]
+        dst_l += [a + off, a]
+    src = np.concatenate(src_l).astype(np.int32)
+    dst = np.concatenate(dst_l).astype(np.int32)
+    feats = rng.normal(size=(n, 12)).astype(np.float32)
+    labels = rng.integers(0, 4, n).astype(np.int32)
+
+    g = graph_from_arrays(feats, src, dst, labels)
+    heads, residuals = [2, 2], [False, True]
+    model = GAT(12, [8, 8], 4, heads, residuals)
+    params = model.init(jax.random.PRNGKey(7))
+    want = np.asarray(model.apply(params, g))[0][:n]
+
+    mesh = make_mesh(8, 1)
+    if variant == "p2p":
+        pg, W = partition_graph_p2p(feats, src, dst, labels, n_parts=8)
+        halo = HaloGATP2P(12, [8, 8], 4, heads, residuals, mesh, halo_width=W)
+    else:
+        pg = partition_graph(feats, src, dst, labels, n_parts=8)
+        halo = HaloGAT(12, [8, 8], 4, heads, residuals, mesh)
+    got = np.asarray(jax.jit(halo.apply)(params, pg))
+    per = -(-n // 8)
+    got_real = np.concatenate(
+        [got[s][: min(per, n - s * per)] for s in range(8) if s * per < n]
+    )
+    np.testing.assert_allclose(got_real, want, rtol=2e-4, atol=2e-4)
+
+
+def test_halo_gat_grads_match_single_device():
+    from gnn_tumor_seg_tpu.models.gat import GAT
+    from gnn_tumor_seg_tpu.parallel.halo import HaloGAT, partition_graph
+
+    rng = np.random.default_rng(15)
+    n = 64
+    feats, src, dst, labels = random_graph(rng, n, avg_deg=5, f_dim=8)
+    g = graph_from_arrays(feats, src, dst, labels)
+    cw = jnp.asarray([0.1, 1, 2, 2])
+
+    model = GAT(8, [8], 4, [2], [False])
+    params = model.init(jax.random.PRNGKey(8))
+
+    def single_loss(p):
+        logits = model.apply(p, g)
+        return weighted_cross_entropy(logits, g.labels, cw, g.node_mask)
+
+    mesh = make_mesh(8, 1)
+    halo = HaloGAT(8, [8], 4, [2], [False], mesh)
+    pg = partition_graph(feats, src, dst, labels, n_parts=8)
+
+    l1, g1 = jax.value_and_grad(single_loss)(params)
+    l2, g2 = jax.value_and_grad(lambda p: halo.loss(p, pg, cw))(params)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# HaloTrainer: optimizer/epochs/checkpoints in the partitioned regime
+# ---------------------------------------------------------------------------
+
+
+def _local_graph_arrays(rng, n, f_dim=20):
+    src_l, dst_l = [], []
+    for off in (1, 2):
+        a = np.arange(0, n - off)
+        src_l += [a, a + off]
+        dst_l += [a + off, a]
+    src = np.concatenate(src_l).astype(np.int32)
+    dst = np.concatenate(dst_l).astype(np.int32)
+    feats = rng.normal(size=(n, f_dim)).astype(np.float32)
+    labels = (np.arange(n) * 4 // n).astype(np.int32)  # learnable structure
+    return feats, src, dst, labels
+
+
+@pytest.mark.parametrize("model_type,variant",
+                         [("GSpool", "all_gather"), ("GSpool", "p2p"),
+                          ("GAT", "all_gather"), ("GAT", "p2p")])
+def test_halo_trainer_loss_decreases(model_type, variant):
+    from gnn_tumor_seg_tpu.parallel.halo import (partition_graph,
+                                                 partition_graph_p2p)
+    from gnn_tumor_seg_tpu.parallel.halo_trainer import HaloTrainer
+
+    rng = np.random.default_rng(16)
+    feats, src, dst, labels = _local_graph_arrays(rng, 128)
+    W = None
+    if variant == "p2p":
+        pg, W = partition_graph_p2p(feats, src, dst, labels, n_parts=8)
+    else:
+        pg = partition_graph(feats, src, dst, labels, n_parts=8)
+
+    hp = HyperParams(layer_sizes=[16, 16], lr=5e-3, n_epochs=6)
+    if model_type == "GAT":
+        hp.gat_heads, hp.gat_residuals = [2, 2], [False, True]
+    mesh = make_mesh(8, 1)
+    tr = HaloTrainer(model_type, hp, [pg], mesh, variant=variant,
+                     halo_width=W, seed=0)
+    first = tr.run_epoch()
+    for _ in range(5):
+        last = tr.run_epoch()
+    assert np.isfinite(last) and last < first
+
+
+def test_halo_trainer_checkpoint_interop(tmp_path):
+    """Halo-trained params load into the single-device model (and back via
+    resume_from), with identical logits."""
+    from gnn_tumor_seg_tpu.models.factory import init_graph_net
+    from gnn_tumor_seg_tpu.parallel.halo import partition_graph
+    from gnn_tumor_seg_tpu.parallel.halo_trainer import HaloTrainer
+    from gnn_tumor_seg_tpu.train.checkpoint import load_checkpoint
+
+    rng = np.random.default_rng(17)
+    feats, src, dst, labels = _local_graph_arrays(rng, 96)
+    pg = partition_graph(feats, src, dst, labels, n_parts=8)
+    g = graph_from_arrays(feats, src, dst, labels)
+
+    hp = HyperParams(layer_sizes=[16], lr=1e-3)
+    mesh = make_mesh(8, 1)
+    tr = HaloTrainer("GSpool", hp, [pg], mesh, seed=1)
+    tr.run_epoch()
+    tr.save_weights(str(tmp_path) + "/", "halo")
+
+    # single-device load: factory from the embedded config, logits match the
+    # halo forward on the same graph
+    path = str(tmp_path / "halo.ckpt")
+    template = init_graph_net("GSpool", hp).init(jax.random.PRNGKey(0))
+    params, model_type, hp2, _ = load_checkpoint(path, params_template=template)
+    assert model_type == "GSpool" and hp2.layer_sizes == [16]
+    single = init_graph_net("GSpool", hp2)
+    want = np.asarray(single.apply(jax.tree_util.tree_map(jnp.asarray, params), g))[0][:96]
+    got = np.asarray(jax.jit(tr.model.apply)(tr.state.params, pg))
+    per = 96 // 8
+    got_real = np.concatenate([got[s][:per] for s in range(8)])
+    np.testing.assert_allclose(got_real, want, rtol=2e-4, atol=2e-4)
+
+    # resume: a new trainer restored from the checkpoint continues bit-exact
+    tr2 = HaloTrainer("GSpool", hp, [pg], mesh, seed=99, resume_from=path)
+    assert int(tr2.state.epoch) == int(tr.state.epoch)
+    l1 = tr.run_epoch()
+    l2 = tr2.run_epoch()
+    assert abs(l1 - l2) < 1e-6
+
+
+def test_exchange_bytes_accounting():
+    """Analytic ICI accounting: exact hand-computed numbers, and p2p must move
+    far less than all_gather at realistic shard sizes."""
+    from gnn_tumor_seg_tpu.models.gat import GAT
+    from gnn_tumor_seg_tpu.models.sage import GraphSage
+    from gnn_tumor_seg_tpu.parallel.halo import (exchange_bytes_per_step,
+                                                 partition_graph)
+
+    rng = np.random.default_rng(18)
+    feats, src, dst, labels = _local_graph_arrays(rng, 512, f_dim=20)
+    pg = partition_graph(feats, src, dst, labels, n_parts=8)
+    assert pg.shard_size == 64
+
+    sage = GraphSage(20, [32, 32], 4, "pool")
+    acc_ag = exchange_bytes_per_step(sage, pg, "all_gather")
+    # widths = layer inputs [20, 32, 32]; rows = 7*64 per layer
+    assert acc_ag["layer_widths"] == [20, 32, 32]
+    assert acc_ag["fwd_bytes_per_device"] == (20 + 32 + 32) * 7 * 64 * 4
+    assert acc_ag["step_bytes_per_device"] == 2 * acc_ag["fwd_bytes_per_device"]
+
+    acc_p2p = exchange_bytes_per_step(sage, pg, "p2p", halo_width=8)
+    assert acc_p2p["fwd_bytes_per_device"] == (20 + 32 + 32) * 16 * 4
+    assert acc_p2p["step_bytes_per_device"] < acc_ag["step_bytes_per_device"] / 10
+
+    gat = GAT(20, [32, 32], 4, [4, 4], [False, True])
+    acc_gat = exchange_bytes_per_step(gat, pg, "p2p", halo_width=8)
+    # packed [z | el] widths per layer: heads*out + heads
+    assert acc_gat["layer_widths"] == [4 * 32 + 4, 4 * 32 + 4, 1 * 4 + 1]
