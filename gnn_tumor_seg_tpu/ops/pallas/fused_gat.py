@@ -21,16 +21,19 @@ attention logits (one-hot MXU dots against the el columns), the masked softmax
 over neighbor slots (VPU), and the weighted combine (weighted-histogram MXU
 dots against the z columns) entirely in VMEM.
 
-The custom VJP is scatter-free on symmetric graphs:
-  - one backward kernel recomputes nothing non-local: d_alpha via per-head
-    all-pairs dots gout_h @ z_uniq_h^T + one-hot row picks, then softmax and
-    LeakyReLU backward in-register -> d_pre (per-edge) and d_er (sum over
-    slots), using the bf16 `pre` activations saved by the forward;
-  - d_el routes d_pre through the reverse table: one packed slot-gather fetches
-    [alpha | d_pre] rows of each node's neighbors, rslot-selects the slot under
-    which the neighbor stored *us*, yielding alpha_rev (the reverse-edge
-    weights) and d_pre_rev (whose slot-sum is d_el);
-  - d_z (values path) = the same weighted-sum kernel over gout with alpha_rev.
+The custom VJP is scatter-free on symmetric graphs, two kernels total:
+  - kernel 1 recomputes nothing non-local: d_alpha via per-head all-pairs dots
+    gout_h @ z_uniq_h^T + one-hot row picks, then softmax and LeakyReLU
+    backward in-register -> d_pre (per-edge) and d_er (sum over slots), using
+    the bf16 `pre` activations saved by the forward;
+  - kernel 2 (_bwd2_kernel, "reverse-combine") is fed by ONE packed
+    [gout | alpha | d_pre] unique-row gather and routes everything through the
+    reverse table in-VMEM: per slot d it one-hot-fetches the neighbor's packed
+    slot rows, selects the slot under which the neighbor stored *us* via a
+    lane-block rslot mask + tiled-projection MXU dot (no XLA [B,N,D,D,W]
+    select), slot-sums d_pre_rev into d_el, and accumulates the reverse-edge
+    weights alpha_rev into per-head weighted histograms contracted against the
+    gathered gout block for d_z — the wsum combine fused in.
 The el/er -> z chain (el = a_l . z) stays outside in XLA autodiff.
 
 GTS_PALLAS_PRECISION=fast: single bf16 passes everywhere (halves the
@@ -48,7 +51,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .tiling import TILE_N, TiledAux, gather_unique_rows
-from .weighted_sum import _wsum_raw
 
 __all__ = ["fused_gat_attention"]
 
@@ -201,6 +203,108 @@ def _bwd_kernel(lidx_ref, mask_ref, g_ref, alpha_ref, pre_ref, gout_ref,
     dpre_ref[0] = jnp.concatenate(cols + [d_er], axis=1)
 
 
+def _bwd2_kernel(lidx_ref, mask_ref, rslot_ref, p_ref, out_ref, del_ref,
+                 *, H, F, fast):
+    """Reverse-combine: ONE kernel for the whole d_z/d_el tail of the VJP.
+
+    Per dst tile, for each slot d (neighbor v = nbr[u, d]):
+      row_d   = one-hot fetch of v's packed [alpha | d_pre] slot rows  [TN, 2DH]
+      picked  = (row_d * [lane_block == rslot[u, d]]) @ tiled-projection
+                -> (alpha_rev_d, d_pre_rev_d)  [TN, 2H]
+      d_el   += d_pre_rev_d
+      whist_h += one_hot_d * alpha_rev_d[:, h]
+    d_z_h = whist_h @ gout_uniq_h (weighted-histogram MXU dots, as in wsum).
+
+    Replaces: slot_gather kernel + XLA [B,N,D,D,2H] select (+~700MB/layer HBM
+    traffic) + a second unique-gather + the separate wsum kernel.
+    """
+    TN, D = lidx_ref.shape[2], lidx_ref.shape[3]
+    U = p_ref.shape[2]
+    HF, DH = H * F, D * H
+    lidx = lidx_ref[0, 0]
+    mask = mask_ref[0, 0]
+    rslot = rslot_ref[0, 0]
+    p = p_ref[0, 0]                                     # [U, HF + 2DH]
+    adp_hi, adp_lo = _planes(p[:, HF:], fast)           # [U, 2DH]
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (TN, U), 1)
+    # lane-block id over the 2DH picked columns: the neighbor slot j each lane
+    # belongs to (alpha part lanes [0, DH), d_pre part [DH, 2DH))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TN, 2 * DH), 1)
+    jblk = (lane % DH) // H
+    # tiled projection [2DH, 2H]: sums the rslot-selected j-block per part/head
+    pr = jax.lax.broadcasted_iota(jnp.int32, (2 * DH, 2 * H), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (2 * DH, 2 * H), 1)
+    proj = (((pr // DH) == (pc // H)) & ((pr % H) == (pc % H))).astype(
+        jnp.bfloat16)
+
+    d_el = jnp.zeros((TN, H), jnp.float32)
+    whists = [jnp.zeros((TN, U), jnp.float32) for _ in range(H)]
+    for d in range(D):
+        m = (iota_u == lidx[:, d:d + 1]) & (mask[:, d:d + 1] > 0)
+        oh_b = m.astype(jnp.bfloat16)
+        row = _dot(oh_b, adp_hi)
+        if not fast:
+            row = row + _dot(oh_b, adp_lo)              # [TN, 2DH] exact
+        bm = (jblk == rslot[:, d:d + 1]).astype(jnp.float32)
+        rm_hi, rm_lo = _planes(row * bm, fast)
+        picked = _dot(rm_hi, proj)                      # proj exact in bf16
+        if not fast:
+            picked = picked + _dot(rm_lo, proj)
+        d_el = d_el + picked[:, H:]
+        oh_f = m.astype(jnp.float32)
+        for h in range(H):
+            whists[h] = whists[h] + oh_f * picked[:, h:h + 1]
+    outs = []
+    for h in range(H):
+        wh_hi, wh_lo = _planes(whists[h], fast)
+        gh_hi, gh_lo = _planes(p[:, h * F:(h + 1) * F], fast)
+        o = _dot(wh_hi, gh_hi)
+        if not fast:
+            o = o + _dot(wh_hi, gh_lo) + _dot(wh_lo, gh_hi)
+        outs.append(o)
+    out_ref[0] = jnp.concatenate(outs, axis=1)
+    del_ref[0] = d_el
+
+
+def _reverse_combine(gout, alpha, d_pre, aux: TiledAux, nbr_mask):
+    """gout [B,N,H,F], alpha/d_pre [B,N,D*H] (slot-major) ->
+    (d_z [B,N,H,F], d_el [B,N,H]) via one packed gather + one kernel."""
+    B, N, H, F = gout.shape
+    T, U = aux.num_tiles, aux.unique_budget
+    D = aux.lidx.shape[-1]
+    fast = _fast_precision()
+    packed = jnp.concatenate([gout.reshape(B, N, H * F), alpha, d_pre], axis=-1)
+    if fast:
+        packed = packed.astype(jnp.bfloat16)
+    W = packed.shape[-1]
+    gp = gather_unique_rows(packed, aux.uniq)           # [B, T, U, W]
+    mask_t = nbr_mask.reshape(B, T, TILE_N, D)
+    rslot_t = aux.rslot.reshape(B, T, TILE_N, D)
+    blk = lambda w: pl.BlockSpec((1, 1, TILE_N, w), lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    d_z, d_el = pl.pallas_call(
+        functools.partial(_bwd2_kernel, H=H, F=F, fast=fast),
+        grid=(B, T),
+        in_specs=[
+            blk(D), blk(D), blk(D),
+            pl.BlockSpec((1, 1, U, W), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TILE_N, H * F), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N, H), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, H * F), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, H), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(aux.lidx, mask_t, rslot_t, gp)
+    return d_z.reshape(B, N, H, F), d_el
+
+
 def _reverse_slots(x, aux: TiledAux, nbr_mask):
     """x [B, N, D, W] -> x_rev[u, d] = x[nbr[u,d], rslot[u,d]] (masked).
 
@@ -291,16 +395,14 @@ def _fga_bwd(slope, res, gout):
         out_shape=jax.ShapeDtypeStruct((B, N, (D + 1) * H), jnp.float32),
         interpret=_interpret(),
     )(aux.lidx, mask_t, g, alpha_t, pre_t, go_t)
-    d_pre = packed[:, :, :D * H].reshape(B, N, D, H)
+    d_pre = packed[:, :, :D * H]
     d_er = packed[:, :, D * H:]
 
-    # one packed reverse fetch: [alpha | d_pre] per slot
-    rev = _reverse_slots(
-        jnp.concatenate([alpha.reshape(B, N, D, H), d_pre], axis=-1),
-        aux, nbr_mask)
-    alpha_rev, d_pre_rev = rev[..., :H], rev[..., H:]
-    d_el = jnp.sum(d_pre_rev, axis=2)                   # route to src nodes
-    d_z = _wsum_raw(gout.reshape(B, N, H, F), alpha_rev, aux, nbr_mask)
+    # fused reverse-combine: one packed [gout | alpha | d_pre] gather + one
+    # kernel yields both d_z (weighted sum over reverse-edge alphas) and d_el
+    # (d_pre routed to src nodes)
+    d_z, d_el = _reverse_combine(gout.reshape(B, N, H, F), alpha, d_pre,
+                                 aux, nbr_mask)
     return d_z, d_el, d_er, None, None
 
 
