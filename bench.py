@@ -130,10 +130,18 @@ def main():
     cpu_eps = t_cpu = None
     if os.environ.get("GTS_BENCH_SKIP_CPU") != "1":
         try:
+            from gnn_tumor_seg_tpu.ops.pallas.precision import precision_scope
+
             cpu = jax.devices("cpu")[0]
-            # CPU baseline runs the dense XLA path (pallas would interpret)
-            step_c, state_c, g_cpu = build_step(model, hp, graph, cpu, impl="dense")
-            t_cpu = time_steps(step_c, state_c, g_cpu, n_steps=2, label="cpu")
+            # CPU baseline runs the dense XLA path (pallas would interpret) in
+            # f32 ('exact'): host CPUs have no bf16 units, so tracing the
+            # baseline under 'fast' would just slow it down and inflate
+            # vs_baseline
+            with precision_scope("exact"):
+                step_c, state_c, g_cpu = build_step(model, hp, graph, cpu,
+                                                    impl="dense")
+                t_cpu = time_steps(step_c, state_c, g_cpu, n_steps=2,
+                                   label="cpu")
             cpu_eps = edges_per_step / t_cpu
             log(f"[bench] cpu step {t_cpu*1e3:.2f} ms -> {cpu_eps:.3e} edges/s")
         except Exception as e:

@@ -74,7 +74,15 @@ def gat_conv_apply(
     weighted-histogram MXU SpMM (ops/pallas/weighted_sum.py) — no per-edge
     feature rows are ever materialized.
     """
+    from ..ops.pallas.precision import compute_dtype
+
+    cd = compute_dtype()
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+    h = h.astype(cd)
+    if cd != jnp.float32:
+        # mixed precision (fast mode): bf16 activations, f32 master params
+        # cast at use — grads reach the f32 params through the cast's VJP
+        params = {k: v.astype(cd) for k, v in params.items()}
     h_in = h
     h = _dropout(h, feat_drop, rngs[0])
     B, N, _ = h.shape
@@ -210,4 +218,4 @@ class GAT:
                 h = jnp.mean(out, axis=2)             # mean over heads -> [B, N, C]
             else:
                 h = out.reshape(B, N, heads * fo)     # flatten heads
-        return h
+        return h.astype(jnp.float32)                  # logits f32 for loss/metrics

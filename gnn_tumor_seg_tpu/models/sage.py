@@ -61,8 +61,17 @@ def sage_conv_apply(
     rng=None,
     impl: str | None = None,
 ) -> jax.Array:
-    """One SAGEConv layer. h: [B, N, F_in] -> [B, N, F_out]."""
-    h = _dropout(h, feat_drop, rng)
+    """One SAGEConv layer. h: [B, N, F_in] -> [B, N, F_out].
+
+    Under precision mode 'fast' the layer runs in bf16 (mixed precision):
+    activations and the per-use parameter casts are bf16, grads flow back to
+    the f32 master params through the cast's VJP."""
+    from ..ops.pallas.precision import compute_dtype
+
+    cd = compute_dtype()
+    h = _dropout(h, feat_drop, rng).astype(cd)
+    if cd != jnp.float32:
+        params = {k: v.astype(cd) for k, v in params.items()}
     if impl == "pallas" and graph.num_nodes_padded < _pallas_min_nodes():
         # small graphs: the dense XLA path is already fast, and Mosaic lowering
         # is fragile at tiny block shapes — not worth a kernel compile
@@ -82,7 +91,7 @@ def sage_conv_apply(
         s = agg(h, op="sum", edge_weight=ew)
         w_mask = graph.nbr_mask if ew is None else graph.nbr_mask * ew
         deg = jnp.sum(w_mask, axis=-1, keepdims=True)  # [B, N, 1]
-        h_n = (s + h) / (deg + 1.0)
+        h_n = (s + h) / (deg + 1.0).astype(s.dtype)
         out = h_n @ params["w_neigh"]
     elif aggregator == "pool":
         p = jax.nn.relu(h @ params["w_pool"] + params["b_pool"])
@@ -159,7 +168,7 @@ class GraphSage:
                     rng=None if last else rngs[i],
                     impl=impl,
                 )
-            return h
+            return h.astype(jnp.float32)      # logits f32 for loss/metrics
 
         h = sage_conv_apply(params[0], graph, h, self.aggregator,
                             activation=jax.nn.relu,
@@ -181,7 +190,7 @@ class GraphSage:
         h, _ = jax.lax.scan(body, h, (stacked, mid_rngs))
         return sage_conv_apply(params[-1], graph, h, self.aggregator,
                                activation=None, feat_drop=0.0, rng=None,
-                               impl=impl)
+                               impl=impl).astype(jnp.float32)
 
 
 def _pallas_min_nodes() -> int:

@@ -54,12 +54,12 @@ def gather_neighbors(h: jax.Array, nbr: jax.Array) -> jax.Array:
 
 def _agg_dense(h, nbr, nbr_mask, op):
     g = gather_neighbors(h, nbr)                      # [B, N, D, F]
-    m = nbr_mask[..., None]                           # [B, N, D, 1]
+    m = nbr_mask[..., None].astype(h.dtype)           # [B, N, D, 1]
     if op == "sum":
         return jnp.sum(g * m, axis=-2)
     if op == "mean":
         deg = jnp.maximum(jnp.sum(nbr_mask, axis=-1, keepdims=True), 1.0)  # [B, N, 1]
-        return jnp.sum(g * m, axis=-2) / deg
+        return jnp.sum(g * m, axis=-2) / deg.astype(h.dtype)
     # max: mask padded slots to -inf, then clamp all-padded rows back to 0
     g = jnp.where(m > 0, g, _NEG_LARGE)
     out = jnp.max(g, axis=-2)
@@ -90,13 +90,13 @@ def _agg_scan(h, nbr, nbr_mask, op):
 
     def body(acc, slot):
         idx, m = slot
-        g = gather(h, idx) * m[..., None]
+        g = gather(h, idx) * m[..., None].astype(h.dtype)
         return acc + g, None
 
     out, _ = jax.lax.scan(body, init, (nbr_t, mask_t))
     if op == "mean":
         deg = jnp.maximum(jnp.sum(nbr_mask, axis=-1, keepdims=True), 1.0)
-        out = out / deg
+        out = out / deg.astype(h.dtype)
     return out
 
 
@@ -159,7 +159,7 @@ def _agg_symmetric_bwd(op, impl, res, gout):
         g = gout
         if op == "mean":
             deg = jnp.maximum(jnp.sum(nbr_mask, axis=-1, keepdims=True), 1.0)
-            g = gout / deg
+            g = gout / deg.astype(gout.dtype)
         grad_h = _agg_scan(g, nbr, nbr_mask, "sum")
         return grad_h, None, None
 
@@ -229,7 +229,7 @@ def _wagg_symmetric_bwd(op, res, gout):
         grad_w = jnp.einsum("bnf,bndf->bnd", g_scaled,
                             g_h - out[:, :, None, :])
     grad_w = grad_w * nbr_mask
-    return grad_h, grad_w, None, None
+    return grad_h.astype(h.dtype), grad_w.astype(w.dtype), None, None
 
 
 _wagg_symmetric.defvjp(_wagg_symmetric_fwd, _wagg_symmetric_bwd)

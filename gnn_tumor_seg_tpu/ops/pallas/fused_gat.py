@@ -153,7 +153,7 @@ def _fwd_kernel(lidx_ref, mask_ref, er_ref, g_ref, out_ref, alpha_ref, pre_ref,
         if not fast:
             o = o + _dot(wh_hi, zh_lo) + _dot(wh_lo, zh_hi)
         outs.append(o)
-    out_ref[0] = jnp.concatenate(outs, axis=1)
+    out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
     alpha_ref[0] = jnp.concatenate(alpha, axis=1)       # [TN, D*H] f32
     # pre-activations (bf16: only sign/scale needed for LeakyReLU backward)
     pre_ref[0] = jnp.concatenate(pre, axis=1).astype(jnp.bfloat16)
@@ -262,7 +262,7 @@ def _bwd2_kernel(lidx_ref, mask_ref, rslot_ref, p_ref, out_ref, del_ref,
         if not fast:
             o = o + _dot(wh_hi, gh_lo) + _dot(wh_lo, gh_hi)
         outs.append(o)
-    out_ref[0] = jnp.concatenate(outs, axis=1)
+    out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
     del_ref[0] = d_el
 
 
@@ -297,7 +297,7 @@ def _reverse_combine(gout, alpha, d_pre, aux: TiledAux, nbr_mask):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N, H * F), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, H * F), gout.dtype),
             jax.ShapeDtypeStruct((B, N, H), jnp.float32),
         ),
         interpret=_interpret(),
@@ -349,7 +349,7 @@ def _fused_fwd_raw(z, el, er, aux: TiledAux, nbr_mask, slope):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N, H * F), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, H * F), z.dtype),
             jax.ShapeDtypeStruct((B, N, D * H), jnp.float32),
             jax.ShapeDtypeStruct((B, N, D * H), jnp.bfloat16),
         ),
@@ -366,11 +366,15 @@ def fused_gat_attention(z, el, er, aux: TiledAux, nbr_mask, negative_slope=0.2):
 
 def _fga_fwd(z, el, er, aux, nbr_mask, slope):
     out, alpha, pre, g = _fused_fwd_raw(z, el, er, aux, nbr_mask, slope)
-    return out, (z.shape, g, alpha, pre, aux, nbr_mask)
+    # zero-size dtype sentinels: cotangents must match primal dtypes, and
+    # dtype objects are not valid residual leaves
+    sent = (jnp.zeros((0,), el.dtype), jnp.zeros((0,), er.dtype))
+    return out, (z.shape, sent, g, alpha, pre, aux, nbr_mask)
 
 
 def _fga_bwd(slope, res, gout):
-    (B, N, H, F), g, alpha, pre, aux, nbr_mask = res
+    (B, N, H, F), (el_s, er_s), g, alpha, pre, aux, nbr_mask = res
+    el_dt, er_dt = el_s.dtype, er_s.dtype
     T, U = aux.num_tiles, aux.unique_budget
     D = aux.lidx.shape[-1]
     mask_t = nbr_mask.reshape(B, T, TILE_N, D)
@@ -396,14 +400,14 @@ def _fga_bwd(slope, res, gout):
         interpret=_interpret(),
     )(aux.lidx, mask_t, g, alpha_t, pre_t, go_t)
     d_pre = packed[:, :, :D * H]
-    d_er = packed[:, :, D * H:]
+    d_er = packed[:, :, D * H:].astype(er_dt)
 
     # fused reverse-combine: one packed [gout | alpha | d_pre] gather + one
     # kernel yields both d_z (weighted sum over reverse-edge alphas) and d_el
     # (d_pre routed to src nodes)
     d_z, d_el = _reverse_combine(gout.reshape(B, N, H, F), alpha, d_pre,
                                  aux, nbr_mask)
-    return d_z, d_el, d_er, None, None
+    return d_z, d_el.astype(el_dt), d_er, None, None
 
 
 fused_gat_attention.defvjp(_fga_fwd, _fga_bwd)

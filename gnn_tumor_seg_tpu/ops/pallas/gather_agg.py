@@ -89,7 +89,7 @@ def _sum_kernel(lidx_ref, mask_ref, g_ref, out_ref, *, mean: bool, fast: bool):
     if mean:
         deg = jnp.sum(mask, axis=1, keepdims=True)
         out = out / jnp.maximum(deg, 1.0)
-    out_ref[0] = out
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def tiled_aggregate(h, aux: TiledAux, nbr_mask, op: str):
@@ -121,7 +121,7 @@ def tiled_aggregate(h, aux: TiledAux, nbr_mask, op: str):
         ],
         out_specs=pl.BlockSpec((1, TILE_N, F), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, N, F), h.dtype),
         interpret=_interpret(),
     )(aux.lidx, mask_t, g)
     return out
@@ -157,7 +157,7 @@ def _max_kernel(lidx_ref, mask_ref, g_ref, out_ref, arg_ref, *, fast):
         best = jnp.where(take, g_d, best)
         arg = jnp.where(take, float(d), arg)
     deg = jnp.sum(mask, axis=1, keepdims=True)
-    out_ref[0] = jnp.where(deg > 0, best, 0.0)
+    out_ref[0] = jnp.where(deg > 0, best, 0.0).astype(out_ref.dtype)
     # winner slots as bf16 (ids < D <= 128: exact) — halves the residual
     # HBM traffic between forward and backward
     arg_ref[0] = arg.astype(jnp.bfloat16)
@@ -189,7 +189,7 @@ def tiled_aggregate_max_fwd(h, aux: TiledAux, nbr_mask):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, F), h.dtype),
             jax.ShapeDtypeStruct((B, N, F), jnp.bfloat16),
         ),
         interpret=_interpret(),
@@ -232,7 +232,7 @@ def _max_bwd_kernel(lidx_ref, mask_ref, rslot_ref, packed_ref, out_ref,
         hit = (a_d == rslot[:, d:d + 1].astype(jnp.float32))
         hit = hit & (mask[:, d:d + 1] > 0)
         acc = acc + jnp.where(hit, g_d, 0.0)
-    out_ref[0] = acc
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def tiled_max_backward(gout, arg, aux: TiledAux, nbr_mask):
@@ -265,7 +265,7 @@ def tiled_max_backward(gout, arg, aux: TiledAux, nbr_mask):
         ],
         out_specs=pl.BlockSpec((1, TILE_N, F), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, N, F), gout.dtype),
         interpret=_interpret(),
     )(aux.lidx, mask_t, rslot_t, gp)
 
@@ -299,7 +299,7 @@ def _agg_tiled_bwd(op, res, gout):
         return grad_h, None, None
     if op == "mean":
         deg = jnp.maximum(jnp.sum(nbr_mask, axis=-1, keepdims=True), 1.0)
-        gout = gout / deg
+        gout = gout / deg.astype(gout.dtype)
     grad_h = tiled_aggregate(gout, aux, nbr_mask, "sum")
     return grad_h, None, None
 

@@ -10,9 +10,14 @@ Two modes for the one-hot-MXU kernels (see gather_agg.py for the numerics):
             TF32 (2^-11) matmuls torch uses by default on current NVIDIA
             hardware, reference `model/gnn_model.py:23`). Halves the MXU
             one-hot dot count (the train step's compute bound) and the
-            byte-bound unique-block gathers. The TRAINER default
-            (train/gnn_trainer.py) — convergence parity with "exact" is
-            pinned by tests/test_training.py::
+            byte-bound unique-block gathers. Additionally the GNN models carry
+            ACTIVATIONS in bf16 (`compute_dtype()`): parameters stay f32
+            master copies cast at use (so param grads/AdamW state remain f32),
+            every kernel preserves its input dtype, and the final logits are
+            cast back to f32 before the loss — the standard TPU
+            mixed-precision recipe, halving all activation HBM traffic.
+            The TRAINER default (train/gnn_trainer.py) — convergence parity
+            with "exact" is pinned by tests/test_training.py::
             test_fast_vs_exact_convergence_pallas (pallas impl, both modes).
 
 Resolution order: set_precision_mode(...) > GTS_PALLAS_PRECISION env >
@@ -27,7 +32,7 @@ import contextlib
 import os
 
 __all__ = ["get_precision_mode", "set_precision_mode", "precision_scope",
-           "fast_precision"]
+           "fast_precision", "compute_dtype"]
 
 _MODES = ("exact", "fast")
 _OVERRIDE: str | None = None
@@ -74,3 +79,14 @@ def precision_scope(mode: str | None):
 
 def fast_precision() -> bool:
     return get_precision_mode() == "fast"
+
+
+def compute_dtype():
+    """Model activation dtype for the current precision mode (trace-time).
+
+    fast -> bfloat16 (mixed-precision: f32 master params cast at use, bf16
+    activations end-to-end, logits cast back to f32 at the model head);
+    exact -> float32."""
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if fast_precision() else jnp.float32

@@ -78,7 +78,7 @@ def _slot_gather_kernel(lidx_ref, mask_ref, g_ref, out_ref, *, W, fast):
             row = row + jnp.dot(oh, g_lo, preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.DEFAULT)
         cols.append(row)
-    out_ref[0] = jnp.concatenate(cols, axis=1)
+    out_ref[0] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)
 
 
 def _slot_gather_raw(x, aux: TiledAux, nbr_mask):
@@ -102,7 +102,7 @@ def _slot_gather_raw(x, aux: TiledAux, nbr_mask):
         ],
         out_specs=pl.BlockSpec((1, TILE_N, D * W), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, D * W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, N, D * W), x.dtype),
         interpret=_interpret(),
     )(aux.lidx, mask_t, g)
     return out.reshape(B, N, D, W)
@@ -129,8 +129,8 @@ def _slot_gather_bwd(res, gout):
     rs = aux.rslot[..., None, None]                     # [B, N, D, 1, 1]
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (B, N, D, D, 1), 3)
     picked = jnp.sum(jnp.where(slot_iota == rs, fetched, 0.0), axis=3)
-    picked = picked * (nbr_mask[..., None] > 0)
-    return jnp.sum(picked, axis=2), None, None          # [B, N, W]
+    picked = picked * (nbr_mask[..., None] > 0).astype(picked.dtype)
+    return jnp.sum(picked, axis=2).astype(gout.dtype), None, None  # [B, N, W]
 
 
 slot_gather.defvjp(_slot_gather_fwd, _slot_gather_bwd)

@@ -108,7 +108,7 @@ def _wsum_kernel(lidx_ref, mask_ref, w_ref, g_ref, out_ref, *, H, F, fast):
         if not fast:
             out = out + _dot(wh_hi, g_lo) + _dot(wh_lo, g_hi)
         outs.append(out)
-    out_ref[0] = jnp.concatenate(outs, axis=1)
+    out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 
 def _wsum_raw(values, weights, aux: TiledAux, nbr_mask, g=None):
@@ -135,7 +135,7 @@ def _wsum_raw(values, weights, aux: TiledAux, nbr_mask, g=None):
         ],
         out_specs=pl.BlockSpec((1, TILE_N, H * F), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, H * F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, N, H * F), values.dtype),
         interpret=_interpret(),
     )(aux.lidx, mask_t, w_t, g)
     return out.reshape(B, N, H, F)
@@ -167,10 +167,10 @@ def _pairdot_kernel(lidx_ref, mask_ref, gout_ref, g_ref, out_ref, *, H, F,
             sel = (iota_u == lidx[:, d:d + 1]) & (mask[:, d:d + 1] > 0)
             out_ref[0, :, d * H + h:d * H + h + 1] = jnp.sum(
                 jnp.where(sel, m, 0.0), axis=1, keepdims=True
-            )
+            ).astype(out_ref.dtype)
 
 
-def _pairdot(gout, values_shape, g, aux: TiledAux, nbr_mask):
+def _pairdot(gout, values_shape, g, aux: TiledAux, nbr_mask, out_dtype):
     """g: the forward's gathered values block (residual — no re-gather)."""
     B, N, H, F = values_shape
     T, U = aux.num_tiles, aux.unique_budget
@@ -194,7 +194,7 @@ def _pairdot(gout, values_shape, g, aux: TiledAux, nbr_mask):
         ],
         out_specs=pl.BlockSpec((1, TILE_N, D * H), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, D * H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, N, D * H), out_dtype),
         interpret=_interpret(),
     )(aux.lidx, mask_t, go_t, g).reshape(B, N, D, H)
 
@@ -226,8 +226,9 @@ def _tws_bwd(res, gout):
     w_rev = _reverse_weights(weights, aux, nbr_mask)
     B, N, H, F = values_shape
     grad_values = _wsum_raw(gout, w_rev, aux, nbr_mask)
-    grad_weights = _pairdot(gout, values_shape, g, aux, nbr_mask)
-    grad_weights = grad_weights * (nbr_mask[..., None] > 0)
+    grad_weights = _pairdot(gout, values_shape, g, aux, nbr_mask, weights.dtype)
+    grad_weights = grad_weights * (nbr_mask[..., None] > 0).astype(
+        grad_weights.dtype)
     return grad_values, grad_weights, None, None
 
 

@@ -28,7 +28,8 @@ def sddmm(a: jax.Array, c: jax.Array, nbr: jax.Array, nbr_mask: jax.Array,
         from .pallas.weighted_sum import _gather_values, _pairdot
 
         g = _gather_values(c, tiled)
-        return _pairdot(a, c.shape, g, tiled, nbr_mask) * (nbr_mask[..., None] > 0)
+        scores = _pairdot(a, c.shape, g, tiled, nbr_mask, jnp.float32)
+        return scores * (nbr_mask[..., None] > 0)
     B, N, H, F = a.shape
     gather = jax.vmap(lambda x, i: x[i])
     c_src = gather(c.reshape(B, N, H * F), nbr).reshape(B, N, -1, H, F)

@@ -56,13 +56,13 @@ class ParallelGNNTrainer(GNNTrainer):
     """
 
     def __init__(self, model_type: str, hp, train_data=None, seed: int = 0,
-                 mesh: Mesh | None = None):
+                 mesh: Mesh | None = None, **kw):
         if mesh is None:
             from .mesh import make_mesh
 
             mesh = make_mesh()
         self.mesh = mesh
-        super().__init__(model_type, hp, train_data, seed=seed)
+        super().__init__(model_type, hp, train_data, seed=seed, **kw)
         # place optimizer state + params according to the TP specs
         shardings = state_shardings(self.state, mesh)
         self.state = jax.device_put(self.state, shardings)

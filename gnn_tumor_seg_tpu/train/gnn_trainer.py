@@ -70,7 +70,7 @@ class GNNTrainer:
             precision = _os.environ.get("GTS_PALLAS_PRECISION", "fast")
         assert precision in ("exact", "fast"), precision
         self.precision = precision
-        self.rng = np.random.default_rng(seed)
+        self._seed = seed
         key = jax.random.PRNGKey(seed)
         self.params = self.model.init(key)
         self.state, self._tx = make_train_state(
@@ -78,7 +78,6 @@ class GNNTrainer:
         )
         self.class_weights = jnp.asarray(hp.class_weights, jnp.float32)
         self.train_data = train_data
-        self._dropout_key = jax.random.PRNGKey(seed + 1)
         self._shape_budget = None
         # byte-bounded LRU: tiled aux is ~2.3 MB/graph at full scale, so an
         # unbounded dict would hold GBs at BraTS-2021 dataset sizes
@@ -183,7 +182,14 @@ class GNNTrainer:
         assert self.train_data is not None, "trainer constructed without data"
         data = self.train_data
         bs = self.hp.batch_size
-        order = self.rng.permutation(len(data))
+        # epoch-keyed RNG (not a stateful stream): a trainer resumed from a
+        # checkpoint at epoch k shuffles/drops exactly like an uninterrupted
+        # run — resume is bit-continuous by construction
+        # (tests/test_training.py::test_resume_exact_continuation)
+        epoch = int(self.state.epoch)
+        order = np.random.default_rng((self._seed, epoch)).permutation(len(data))
+        dropout_key = jax.random.fold_in(jax.random.PRNGKey(self._seed + 1),
+                                         epoch)
         self._start_prefetch(order)
         n_pad, d_pad = self._shape_budget
         losses = []
@@ -205,7 +211,7 @@ class GNNTrainer:
                     self._u_budget = -(-u_obs // 32) * 32
             batch = batch_graphs(graphs, n_pad=n_pad, d_pad=d_pad,
                                  u_pad=self._u_budget or None)
-            self._dropout_key, sub = jax.random.split(self._dropout_key)
+            dropout_key, sub = jax.random.split(dropout_key)
             from ..ops.pallas.precision import precision_scope
 
             with precision_scope(self.precision), \

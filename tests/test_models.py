@@ -10,7 +10,18 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from gnn_tumor_seg_tpu.ops.pallas.precision import precision_scope
 from gnn_tumor_seg_tpu.ops.graph import graph_from_arrays
+
+
+@pytest.fixture(autouse=True)
+def _exact_mode():
+    # The oracles here are f32 numpy: exact-mode contracts (fast mode runs
+    # bf16 activations through the models). fast-mode coverage lives in
+    # test_pallas_agg (dense-vs-pallas, both bf16) and
+    # test_training::test_fast_vs_exact_convergence_pallas.
+    with precision_scope("exact"):
+        yield
 from gnn_tumor_seg_tpu.models.sage import GraphSage
 from gnn_tumor_seg_tpu.models.gat import GAT
 from gnn_tumor_seg_tpu.models.refine_cnn import CnnRefinementNet

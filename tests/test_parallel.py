@@ -39,9 +39,14 @@ def test_parallel_matches_single_device():
     hp = HyperParams(n_epochs=1, layer_sizes=[16], lr=1e-3, batch_size=4)
     from gnn_tumor_seg_tpu.train.gnn_trainer import GNNTrainer
 
-    single = GNNTrainer("GSmean", hp, data, seed=0)
+    # exact mode: this pins the DP *mechanism* (shard + psum == one-device
+    # reduce), which is only tightly comparable at f32 — under 'fast' (bf16
+    # activations) the differing reduction order is legitimate rounding that
+    # AdamW's normalized update amplifies past any tight tolerance
+    single = GNNTrainer("GSmean", hp, data, seed=0, precision="exact")
     mesh = make_mesh(4, 2)
-    par = ParallelGNNTrainer("GSmean", hp, data, seed=0, mesh=mesh)
+    par = ParallelGNNTrainer("GSmean", hp, data, seed=0, mesh=mesh,
+                             precision="exact")
     l1 = single.run_epoch()
     l2 = par.run_epoch()
     assert abs(l1 - l2) < 1e-4
