@@ -227,33 +227,43 @@ def _bwd2_kernel(lidx_ref, mask_ref, rslot_ref, p_ref, out_ref, del_ref,
     p = p_ref[0, 0]                                     # [U, HF + 2DH]
     adp_hi, adp_lo = _planes(p[:, HF:], fast)           # [U, 2DH]
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (TN, U), 1)
-    # lane-block id over the 2DH picked columns: the neighbor slot j each lane
-    # belongs to (alpha part lanes [0, DH), d_pre part [DH, 2DH))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TN, 2 * DH), 1)
-    jblk = (lane % DH) // H
     # tiled projection [2DH, 2H]: sums the rslot-selected j-block per part/head
     pr = jax.lax.broadcasted_iota(jnp.int32, (2 * DH, 2 * H), 0)
     pc = jax.lax.broadcasted_iota(jnp.int32, (2 * DH, 2 * H), 1)
     proj = (((pr // DH) == (pc // H)) & ((pr % H) == (pc % H))).astype(
         jnp.bfloat16)
 
-    d_el = jnp.zeros((TN, H), jnp.float32)
-    whists = [jnp.zeros((TN, U), jnp.float32) for _ in range(H)]
-    for d in range(D):
-        m = (iota_u == lidx[:, d:d + 1]) & (mask[:, d:d + 1] > 0)
-        oh_b = m.astype(jnp.bfloat16)
-        row = _dot(oh_b, adp_hi)
-        if not fast:
-            row = row + _dot(oh_b, adp_lo)              # [TN, 2DH] exact
-        bm = (jblk == rslot[:, d:d + 1]).astype(jnp.float32)
-        rm_hi, rm_lo = _planes(row * bm, fast)
-        picked = _dot(rm_hi, proj)                      # proj exact in bf16
-        if not fast:
-            picked = picked + _dot(rm_lo, proj)
-        d_el = d_el + picked[:, H:]
-        oh_f = m.astype(jnp.float32)
-        for h in range(H):
-            whists[h] = whists[h] + oh_f * picked[:, h:h + 1]
+    # stack the D per-slot one-hots along sublanes and run the whole fetch +
+    # projection as TWO large MXU dots instead of 2*D small ones — the small
+    # [TN, .]x[., 96/8] dots are launch/shape-bound, not FLOP-bound
+    ohs = [(iota_u == lidx[:, d:d + 1]) & (mask[:, d:d + 1] > 0)
+           for d in range(D)]
+    oh_all = jnp.concatenate([m.astype(jnp.bfloat16) for m in ohs], axis=0)
+    row_all = _dot(oh_all, adp_hi)                      # [D*TN, 2DH]
+    if not fast:
+        row_all = row_all + _dot(oh_all, adp_lo)
+    # lane-block id over the 2DH picked columns: the neighbor slot j each lane
+    # belongs to (alpha part lanes [0, DH), d_pre part [DH, 2DH)); built per-d
+    # at [TN, 2DH] and stacked wide (Mosaic rejects concats of [TN, 1] slices)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TN, 2 * DH), 1)
+    jblk = (lane % DH) // H
+    bm = jnp.concatenate(
+        [(jblk == rslot[:, d:d + 1]).astype(jnp.float32) for d in range(D)],
+        axis=0)                                         # [D*TN, 2DH]
+    rm_hi, rm_lo = _planes(row_all * bm, fast)
+    picked = _dot(rm_hi, proj)                          # [D*TN, 2H]
+    if not fast:
+        picked = picked + _dot(rm_lo, proj)
+
+    # d_el and the per-head reverse-weight histograms via sublane-block
+    # reduces over the stacked layout (no per-(d,h) lane slicing — tiny
+    # lane-offset slices force Mosaic relayouts)
+    d_el = jnp.sum(picked.reshape(D, TN, 2 * H), axis=0)[:, H:]
+    oh_f_all = oh_all.astype(jnp.float32)               # [D*TN, U]
+    whists = [
+        jnp.sum((oh_f_all * picked[:, h:h + 1]).reshape(D, TN, U), axis=0)
+        for h in range(H)
+    ]
     outs = []
     for h in range(H):
         wh_hi, wh_lo = _planes(whists[h], fast)

@@ -143,5 +143,39 @@ def main():
                  "full hidden layer fwd+bwd (d_h)")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and os.environ.get("GTS_PROFILE_SPLIT") != "1":
     main()
+
+
+def profile_bwd_split():
+    """Split attention bwd: kernel1 (softmax/pairdot) vs reverse-combine."""
+    from gnn_tumor_seg_tpu.ops.graph import batch_graphs
+    from gnn_tumor_seg_tpu.ops.pallas.fused_gat import (_fused_fwd_raw,
+                                                        _reverse_combine)
+    from __graft_entry__ import _synthetic_graph
+
+    batch, n_nodes, k = 6, 7000, 10
+    graphs = [_synthetic_graph(n_nodes=n_nodes, k=k, seed=i).with_tiled_aux()
+              for i in range(batch)]
+    graph = batch_graphs(graphs)
+    dev = jax.devices()[0]
+    graph = jax.device_put(graph, dev)
+    aux = graph.tiled
+    B, N, D = graph.nbr.shape
+    H, F = 4, 256
+    key = jax.random.PRNGKey(0)
+    z = jax.device_put(jax.random.normal(key, (B, N, H, F)).astype(jnp.bfloat16), dev)
+    gout = jax.device_put(jax.random.normal(key, (B, N, H, F)).astype(jnp.bfloat16), dev)
+    alpha = jax.device_put(
+        (jax.random.uniform(key, (B, N, D, H)) *
+         graph.nbr_mask[..., None]).reshape(B, N, D * H), dev)
+    dpre = jax.device_put(jax.random.normal(key, (B, N, D * H)) * 0.01, dev)
+
+    def rc(g):
+        d_z, d_el = _reverse_combine(g, alpha, dpre, aux, graph.nbr_mask)
+        return d_z + d_el[..., None] * 0
+    timeit_chain(rc, (gout,), "reverse_combine (gather+kernel2)")
+
+
+if __name__ == "__main__" and os.environ.get("GTS_PROFILE_SPLIT") == "1":
+    profile_bwd_split()

@@ -370,3 +370,50 @@ def test_exchange_bytes_accounting():
     acc_gat = exchange_bytes_per_step(gat, pg, "p2p", halo_width=8)
     # packed [z | el] widths per layer: heads*out + heads
     assert acc_gat["layer_widths"] == [4 * 32 + 4, 4 * 32 + 4, 1 * 4 + 1]
+
+
+def test_process_shard_covers_and_balances():
+    """Per-host file shards: equal lengths (SPMD liveness), full coverage,
+    wrap-around padding, single-process passthrough."""
+    from gnn_tumor_seg_tpu.parallel.multihost import process_shard
+
+    ids = [f"s{i}" for i in range(10)]
+    shards = [process_shard(ids, p, 4) for p in range(4)]
+    assert all(len(s) == 3 for s in shards)         # ceil(10/4), all equal
+    covered = set()
+    for s in shards:
+        covered.update(s)
+    assert covered == set(ids)                      # nothing dropped
+    assert shards[3] == ["s9", "s0", "s1"]          # wrap-padded last host
+    assert process_shard(ids, 0, 1) == ids          # single process: as-is
+    # even split: exact partition, no duplicates anywhere
+    shards8 = [process_shard(ids[:8], p, 4) for p in range(4)]
+    flat = [x for s in shards8 for x in s]
+    assert sorted(flat) == sorted(ids[:8])
+
+
+def test_coordinator_checkpoint_and_global_batch(tmp_path):
+    from gnn_tumor_seg_tpu.config import HyperParams
+    from gnn_tumor_seg_tpu.models.sage import GraphSage
+    from gnn_tumor_seg_tpu.parallel.mesh import data_sharding, make_mesh
+    from gnn_tumor_seg_tpu.parallel.multihost import (
+        is_coordinator, make_global_batch, save_checkpoint_coordinator)
+    from gnn_tumor_seg_tpu.train.checkpoint import load_checkpoint
+
+    assert is_coordinator()                         # single-process == proc 0
+    hp = HyperParams(layer_sizes=[8])
+    model = GraphSage(hp.in_feats, hp.layer_sizes, hp.out_classes, "pool")
+    params = model.init(jax.random.PRNGKey(0))
+    wrote = save_checkpoint_coordinator(str(tmp_path / "mh.ckpt"), params,
+                                        "GSpool", hp)
+    assert wrote
+    restored, mt, hp2, _ = load_checkpoint(str(tmp_path / "mh.ckpt"), params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    mesh = make_mesh(8, 1)
+    local = {"x": np.arange(8 * 4, dtype=np.float32).reshape(8, 4)}
+    g = make_global_batch(local, data_sharding(mesh))
+    assert g["x"].shape == (8, 4)
+    np.testing.assert_array_equal(np.asarray(g["x"]), local["x"])
