@@ -111,20 +111,20 @@ def _fwd_kernel(lidx_ref, mask_ref, er_ref, g_ref, out_ref, alpha_ref, pre_ref,
     el_hi, el_lo = _planes(g[:, H * F:], fast)          # [U, H]
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (TN, U), 1)
 
-    # one-hot slot masks (bf16 for MXU dots, f32 for the weighted histogram)
-    oh_b, oh_f = [], []
-    for d in range(D):
-        m = (iota_u == lidx[:, d:d + 1]) & (mask[:, d:d + 1] > 0)
-        oh_b.append(m.astype(jnp.bfloat16))
-        oh_f.append(m.astype(jnp.float32))
+    # one-hot slot masks; the el fetch runs as ONE stacked [D*TN, U] MXU dot
+    # (D small [TN, U] x [U, H] dots are launch-bound, not FLOP-bound)
+    ohs = [(iota_u == lidx[:, d:d + 1]) & (mask[:, d:d + 1] > 0)
+           for d in range(D)]
+    oh_f = [m.astype(jnp.float32) for m in ohs]
+    oh_all = jnp.concatenate([m.astype(jnp.bfloat16) for m in ohs], axis=0)
+    el_all = _dot(oh_all, el_hi)                        # [D*TN, H]
+    if not fast:
+        el_all = el_all + _dot(oh_all, el_lo)
 
     # attention logits + masked softmax over slots, in-register
     pre, mx = [], jnp.full((TN, H), _NEG_LARGE, jnp.float32)
     for d in range(D):
-        el_d = _dot(oh_b[d], el_hi)
-        if not fast:
-            el_d = el_d + _dot(oh_b[d], el_lo)
-        p = el_d + er
+        p = el_all[d * TN:(d + 1) * TN] + er
         p = jnp.where(p >= 0, p, p * slope)             # LeakyReLU
         pre.append(p)
         masked = jnp.where(mask[:, d:d + 1] > 0, p, _NEG_LARGE)
