@@ -30,12 +30,15 @@ def _replicate_conv3d(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """x: [B, D, H, W, Cin]; w: [5,5,5,Cin,Cout]; replicate-pad 2 then VALID conv."""
     x = jnp.pad(x, ((0, 0), (_PAD, _PAD), (_PAD, _PAD), (_PAD, _PAD), (0, 0)),
                 mode="edge")
+    # output dtype follows the inputs (bf16 under fast mode): MXU accumulation
+    # is f32 internally either way, and a f32 preferred_element_type would
+    # break the conv transpose under autodiff (f32 cotangent vs bf16 kernel)
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1, 1),
         padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     return out + b
 
@@ -64,6 +67,17 @@ class CnnRefinementNet:
         }
 
     def apply(self, params, x: jax.Array, train: bool = False, rng=None) -> jax.Array:
-        """x: [B, D, H, W, in_feats] -> logits [B, D, H, W, out_classes]."""
+        """x: [B, D, H, W, in_feats] -> logits [B, D, H, W, out_classes].
+
+        Precision mode 'fast' runs the convs in bf16 (f32 MXU accumulate via
+        preferred_element_type, f32 master params cast at use, f32 logits out)
+        — same mixed-precision recipe as the GNN models."""
+        from ..ops.pallas.precision import compute_dtype
+
+        cd = compute_dtype()
+        x = x.astype(cd)
+        if cd != jnp.float32:
+            params = jax.tree_util.tree_map(lambda v: v.astype(cd), params)
         h = jax.nn.relu(_replicate_conv3d(x, params["conv0"]["w"], params["conv0"]["b"]))
-        return _replicate_conv3d(h, params["conv1"]["w"], params["conv1"]["b"])
+        out = _replicate_conv3d(h.astype(cd), params["conv1"]["w"], params["conv1"]["b"])
+        return out.astype(jnp.float32)

@@ -157,3 +157,19 @@ def test_sage_zero_degree_node():
         params = model.init(jax.random.PRNGKey(0))
         out = np.asarray(model.apply(params, g))
         assert np.isfinite(out).all()
+
+
+def test_cnn_fast_mode_tracks_exact():
+    """fast (bf16 conv) logits track the f32 forward at bf16 tolerance."""
+    from gnn_tumor_seg_tpu.ops.pallas.precision import precision_scope
+
+    rng = np.random.default_rng(31)
+    net = CnnRefinementNet(8, 4, [16])
+    params = net.init(jax.random.PRNGKey(2))
+    x = jnp.asarray(rng.normal(size=(1, 10, 11, 9, 8)).astype(np.float32))
+    with precision_scope("exact"):
+        want = np.asarray(net.apply(params, x))
+    with precision_scope("fast"):
+        got = np.asarray(net.apply(params, x))
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
