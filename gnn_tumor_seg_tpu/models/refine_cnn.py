@@ -69,9 +69,10 @@ class CnnRefinementNet:
     def apply(self, params, x: jax.Array, train: bool = False, rng=None) -> jax.Array:
         """x: [B, D, H, W, in_feats] -> logits [B, D, H, W, out_classes].
 
-        Precision mode 'fast' runs the convs in bf16 (f32 MXU accumulate via
-        preferred_element_type, f32 master params cast at use, f32 logits out)
-        — same mixed-precision recipe as the GNN models."""
+        Precision mode 'fast' runs the convs in bf16: params/activations cast
+        at use, conv outputs stay bf16 between layers (MXU accumulates in f32
+        internally regardless of output dtype), and only the head logits are
+        cast back to f32 — same mixed-precision recipe as the GNN models."""
         from ..ops.pallas.precision import compute_dtype
 
         cd = compute_dtype()

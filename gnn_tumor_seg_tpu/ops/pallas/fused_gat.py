@@ -315,23 +315,6 @@ def _reverse_combine(gout, alpha, d_pre, aux: TiledAux, nbr_mask):
     return d_z.reshape(B, N, H, F), d_el
 
 
-def _reverse_slots(x, aux: TiledAux, nbr_mask):
-    """x [B, N, D, W] -> x_rev[u, d] = x[nbr[u,d], rslot[u,d]] (masked).
-
-    slot_gather fetches each neighbor's full [D*W] slot row; the rslot column
-    pick runs in XLA. (An in-kernel D^2 select was tried and lowers badly —
-    tiny lane-offset slices force Mosaic relayouts, 2x slower overall.)"""
-    from .slot_gather import slot_gather
-
-    B, N, D, W = x.shape
-    fetched = slot_gather(x.reshape(B, N, D * W), aux, nbr_mask)
-    fetched = fetched.reshape(B, N, D, D, W)
-    rs = aux.rslot[..., None, None]
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (B, N, D, D, 1), 3)
-    picked = jnp.sum(jnp.where(slot_iota == rs, fetched, 0.0), axis=3)
-    return picked * (nbr_mask[..., None] > 0)
-
-
 def _fused_fwd_raw(z, el, er, aux: TiledAux, nbr_mask, slope):
     B, N, H, F = z.shape
     T, U = aux.num_tiles, aux.unique_budget

@@ -41,9 +41,9 @@ def process_shard(items: Sequence, process_index: int | None = None,
     """
     p = jax.process_index() if process_index is None else process_index
     n = jax.process_count() if process_count is None else process_count
-    if n <= 1:
-        return list(items)
     items = list(items)
+    if n <= 1 or not items:
+        return items
     per = -(-len(items) // n)                      # ceil
     start = p * per
     out = [items[(start + i) % len(items)] for i in range(per)]
@@ -63,15 +63,23 @@ def save_checkpoint_coordinator(path: str, params: Any, model_type: str,
     with fully-addressable replicas — true for this framework's DP/TP
     trainers, whose parameters are replicated or TP-sharded within one
     host's devices). Returns True on the writing process.
+
+    All processes barrier after the write (sync_global_devices), so no host
+    can observe-or-exit before the checkpoint is durably on disk.
     """
     from ..train.checkpoint import save_checkpoint
 
-    if not is_coordinator():
-        return False
-    save_checkpoint(path, jax.device_get(params), model_type, hp,
-                    opt_state=None if opt_state is None
-                    else jax.device_get(opt_state), extra=extra)
-    return True
+    wrote = False
+    if is_coordinator():
+        save_checkpoint(path, jax.device_get(params), model_type, hp,
+                        opt_state=None if opt_state is None
+                        else jax.device_get(opt_state), extra=extra)
+        wrote = True
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt:{path}")
+    return wrote
 
 
 def make_global_batch(local_leaves: Any, sharding) -> Any:

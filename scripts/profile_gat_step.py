@@ -25,6 +25,24 @@ set_precision_mode(os.environ.get("GTS_PALLAS_PRECISION", "fast"))
 REPS = 8  # repeats chained inside one jit
 
 
+def _reverse_slots(x, aux, nbr_mask):
+    """Historical pre-fusion reverse fetch, kept ONLY for profiling A/Bs.
+
+    x [B, N, D, W] -> x_rev[u, d] = x[nbr[u,d], rslot[u,d]] (masked).
+    slot_gather fetches each neighbor's full [D*W] slot row; the rslot column
+    pick runs in XLA. The library path replaced this with _reverse_combine
+    (one packed gather + stacked-dot kernel); see ops/pallas/fused_gat.py."""
+    from gnn_tumor_seg_tpu.ops.pallas.slot_gather import slot_gather
+
+    B, N, D, W = x.shape
+    fetched = slot_gather(x.reshape(B, N, D * W), aux, nbr_mask)
+    fetched = fetched.reshape(B, N, D, D, W)
+    rs = aux.rslot[..., None, None]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (B, N, D, D, 1), 3)
+    picked = jnp.sum(jnp.where(slot_iota == rs, fetched, 0.0), axis=3)
+    return picked * (nbr_mask[..., None] > 0)
+
+
 def timeit_chain(make_fn, args, label, n_outer=5):
     """make_fn(x, *rest) must return same-shaped x; chains REPS reps in-jit."""
     @jax.jit
@@ -49,7 +67,6 @@ def main():
     from gnn_tumor_seg_tpu.models.gat import GAT, gat_conv_apply
     from gnn_tumor_seg_tpu.ops.graph import batch_graphs
     from gnn_tumor_seg_tpu.ops.pallas.fused_gat import (_fused_fwd_raw,
-                                                        _reverse_slots,
                                                         fused_gat_attention)
     from gnn_tumor_seg_tpu.ops.pallas.weighted_sum import _wsum_raw
     from __graft_entry__ import _synthetic_graph

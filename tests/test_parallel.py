@@ -55,6 +55,26 @@ def test_parallel_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_parallel_fast_mode_tracks_single_device():
+    """Trainer-default 'fast' (bf16 activations) DP coverage: shard+psum under
+    bf16 legitimately reorders reductions, so assert loose agreement with the
+    single-device fast run plus a decreasing-loss smoke — not bit equality
+    (that mechanism check lives in the exact-mode test above)."""
+    data = SyntheticGraphDataset(n_samples=8, grid=5, seed=21)
+    hp = HyperParams(n_epochs=3, layer_sizes=[16, 16], lr=3e-3, batch_size=8)
+    from gnn_tumor_seg_tpu.train.gnn_trainer import GNNTrainer
+
+    single = GNNTrainer("GSpool", hp, data, seed=0, precision="fast")
+    par = ParallelGNNTrainer("GSpool", hp, data, seed=0,
+                             mesh=make_mesh(8, 1), precision="fast")
+    s_first, p_first = single.run_epoch(), par.run_epoch()
+    assert abs(s_first - p_first) < 0.05 * max(abs(s_first), 1e-3)
+    for _ in range(3):
+        s_last, p_last = single.run_epoch(), par.run_epoch()
+    assert np.isfinite(p_last) and p_last < p_first
+    assert abs(s_last - p_last) < 0.1 * max(abs(s_last), 1e-3)
+
+
 @pytest.mark.parametrize("agg", ["mean", "gcn", "pool"])
 def test_halo_forward_matches_single_device(agg):
     rng = np.random.default_rng(10)
@@ -390,6 +410,8 @@ def test_process_shard_covers_and_balances():
     shards8 = [process_shard(ids[:8], p, 4) for p in range(4)]
     flat = [x for s in shards8 for x in s]
     assert sorted(flat) == sorted(ids[:8])
+    # empty list: every host gets [] (no ZeroDivisionError)
+    assert process_shard([], 1, 4) == []
 
 
 def test_coordinator_checkpoint_and_global_batch(tmp_path):
