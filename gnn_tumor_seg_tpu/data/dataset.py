@@ -49,6 +49,12 @@ class ImageGraphDataset:
                  read_graph: bool = True, read_label: bool = True,
                  cache_graphs: bool = True, cache_bytes: int | None = None):
         assert read_graph or read_image
+        # MB-scale per-sample buffers (volumes, padded graphs) should reuse
+        # heap pages across loads — first-touch of fresh mmap pages is ~10 MB/s
+        # on this VM class (see runtime.enable_host_alloc_reuse)
+        from ..runtime import enable_host_alloc_reuse
+
+        enable_host_alloc_reuse()
         self.root = root
         self.read_image = read_image
         self.read_graph = read_graph

@@ -21,7 +21,7 @@ import numpy as np
 
 from . import nifti, store
 from .graph_build import build_graph_sample
-from .image import (determine_brain_crop, normalize_img, standardize_img,
+from .image import (determine_brain_crop, normalize_img,
                     swap_labels_from_brats)
 
 __all__ = ["DataPreprocessor", "STANDARDIZATION_STATS", "DEFAULT_MODALITY_EXTS"]
@@ -56,6 +56,13 @@ class DataPreprocessor:
         self.n_threads = n_threads
         self.slic_fn = slic_fn
         self.weighted = weighted
+
+        # per-sample numpy volumes are ~80-140 MB; keep them in the heap so
+        # page faults are paid once per process, not once per sample (big win
+        # on VMs with slow first-touch — see runtime.enable_host_alloc_reuse)
+        from ..runtime import enable_host_alloc_reuse
+
+        enable_host_alloc_reuse()
 
         self.all_ids, self.id_to_fp = self._discover(mri_prefix)
         stats = (self.compute_dataset_stats()
@@ -110,9 +117,16 @@ class DataPreprocessor:
         if self.include_labels:
             raw_labels = nifti.read_in_labels(scan_dir, self.label_extension)
             labels = swap_labels_from_brats(raw_labels[crop])
-        normalized = normalize_img(cropped)
-        standardized = standardize_img(normalized, self.dataset_mean, self.dataset_std)
-        return standardized, labels, crop, image.shape[:3]
+        # in-place normalize + standardize on the cropped copy: zero new
+        # full-volume temporaries (each fresh ~80 MB allocation pays slow
+        # first-touch on this host class; see enable_host_alloc_reuse)
+        from .image import _fast_quantile_per_channel
+
+        maxes = _fast_quantile_per_channel(cropped, 0.995)
+        cropped /= maxes
+        cropped -= self.dataset_mean
+        cropped /= self.dataset_std
+        return cropped, labels, crop, image.shape[:3]
 
     def process_one(self, mri_id: str) -> str:
         image, labels, crop, orig_shape = self.get_standardized_image(self.id_to_fp[mri_id])

@@ -285,30 +285,53 @@ void enforce_connectivity(int32_t* labels, int64_t X, int64_t Y, int64_t Z,
   for (int32_t l = 0; l < n_labels; ++l)
     if (keep[l] >= 0) is_kept[keep[l]] = 1;
 
-  bool changed = true;
-  while (changed) {
-    changed = false;
-    // contact counts fragment -> kept neighbor labels
-    for (int64_t i = 0; i < V; ++i) {
-      if (is_kept[comp[i]]) continue;
+  // worklist of fragment voxels: sweeps iterate only what is still unresolved
+  // instead of the whole volume, and each sweep is OpenMP-parallel. Each pass
+  // is two-phase (read the PREVIOUS state, then apply), so the result is
+  // deterministic regardless of thread count: a voxel absorbs from its first
+  // kept neighbor in the fixed 6-direction order of the previous sweep's
+  // state — repeated sweeps erode fragments from their kept borders inward.
+  std::vector<int64_t> work;
+  for (int64_t i = 0; i < V; ++i)
+    if (!is_kept[comp[i]]) work.push_back(i);
+
+  std::vector<int32_t> new_comp(work.size());
+  std::vector<char> resolved(work.size());
+  while (!work.empty()) {
+    const int64_t W = (int64_t)work.size();
+    int64_t n_resolved = 0;
+#pragma omp parallel for schedule(static) reduction(+ : n_resolved)
+    for (int64_t w = 0; w < W; ++w) {
+      const int64_t i = work[w];
       int64_t z = i % Z, y = (i / Z) % Y, x = i / (Y * Z);
       const int64_t nb[6] = {
           x > 0 ? idx(x - 1, y, z) : -1,     x + 1 < X ? idx(x + 1, y, z) : -1,
           y > 0 ? idx(x, y - 1, z) : -1,     y + 1 < Y ? idx(x, y + 1, z) : -1,
           z > 0 ? idx(x, y, z - 1) : -1,     z + 1 < Z ? idx(x, y, z + 1) : -1};
+      resolved[w] = 0;
       for (int k = 0; k < 6; ++k) {
         int64_t j = nb[k];
         if (j >= 0 && is_kept[comp[j]]) {
-          // absorb this voxel's whole fragment is costly to do per-voxel; flip
-          // the voxel into the kept neighbor's component instead — repeated
-          // sweeps erode fragments from their kept borders inward
-          labels[i] = labels[j];
-          comp[i] = comp[j];
-          changed = true;
+          new_comp[w] = comp[j];
+          resolved[w] = 1;
+          n_resolved++;
           break;
         }
       }
     }
+    if (n_resolved == 0) break;  // isolated fragments with no kept border
+    // apply + compact the worklist
+    int64_t out_w = 0;
+    for (int64_t w = 0; w < W; ++w) {
+      if (resolved[w]) {
+        const int64_t i = work[w];
+        comp[i] = new_comp[w];
+        labels[i] = comp_label[new_comp[w]];
+      } else {
+        work[out_w++] = work[w];
+      }
+    }
+    work.resize(out_w);
   }
 }
 

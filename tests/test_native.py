@@ -59,6 +59,33 @@ def test_native_connectivity_enforced():
     assert set(np.unique(labels)) == set(range(labels.max() + 1))
 
 
+def test_native_connectivity_absorbs_constructed_fragments():
+    """Direct absorb-phase check on constructed fragments (no SLIC): singleton
+    and multi-voxel fragments, a fragment pocket that needs several erosion
+    sweeps, and a fragment wider than one sweep's erosion depth."""
+    from scipy import ndimage
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 4, (24, 24, 24)).astype(np.int32)
+    # give each label a dominant block so "largest component" is unambiguous
+    v[:12, :12, :] = 0
+    v[:12, 12:, :] = 1
+    v[12:, :12, :] = 2
+    v[12:, 12:, :] = 3
+    # fragments: a singleton, a 3-voxel bar, and a 4^3 cube of a foreign label
+    v[2, 2, 2] = 3
+    v[5, 5, 5:8] = 2
+    v[14, 2:6, 2:6] = 1
+    out = native.enforce_connectivity_native(v)
+    for lab in np.unique(out):
+        _, nc = ndimage.label(out == lab)
+        assert nc == 1, f"label {lab} has {nc} components"
+    # fragments were absorbed into *adjacent* labels, not teleported
+    assert out[2, 2, 2] == 0
+    assert np.all(out[5, 5, 5:8] == 0)
+    assert np.all(out[14, 2:6, 2:6] == 2)
+
+
 def test_native_knn_matches_numpy():
     from gnn_tumor_seg_tpu.data.graph_build import knn_adjacency_edges
 
