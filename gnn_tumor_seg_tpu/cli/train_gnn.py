@@ -3,6 +3,27 @@
 Argument contract mirrors `scripts/train_gnn.py:64-89`; k=1 trains on the full
 dataset. Checkpoints + progress TSV land in the output dir.
 Run: python -m gnn_tumor_seg_tpu.cli.train_gnn -d <processed> -o <logs> -r run1
+
+Distributed training (no reference counterpart — SURVEY §2.3) is launched from
+the same entry point:
+
+  --parallel dp   --mesh 4[,2]   data(+tensor)-parallel minibatch training
+                                 (parallel/dp.py): the graph batch shards over
+                                 the mesh "data" axis, weights optionally over
+                                 "model"; XLA GSPMD inserts the psums over ICI.
+  --parallel halo --mesh 8       node-partitioned giant-graph training
+                                 (parallel/halo*.py): each step's minibatch is
+                                 ONE disjoint-union graph split across all
+                                 devices — for graphs that do not fit a chip.
+                                 --halo_variant p2p exchanges only boundary
+                                 rows (ppermute); all_gather works for any
+                                 edge structure (automatic fallback).
+
+Multi-host SPMD: start the same command on every host with --num_processes,
+--process_id and --coordinator host:port (mesh axes then span all hosts'
+devices). DP hosts read only their shard of the samples (process_shard), all
+hosts run identical step counts, and exactly one host writes checkpoints and
+progress files (parallel/multihost.py).
 """
 
 from __future__ import annotations
@@ -19,7 +40,8 @@ from ..train.gnn_trainer import GNNTrainer
 
 
 class _SubsetView:
-    """A view of a dataset restricted to given indices (train-fold view).
+    """A view of a dataset restricted to given indices (train-fold view /
+    per-process shard).
 
     Shares the underlying cache; exposes the same data protocol the trainer
     expects."""
@@ -35,6 +57,9 @@ class _SubsetView:
     def get_graph(self, i):
         return self.base.get_graph(self.indices[i])
 
+    def get_sample(self, i):
+        return self.base.get_sample(self.indices[i])
+
     def get_supervoxel_partitioning(self, mri_id):
         return self.base.get_supervoxel_partitioning(mri_id)
 
@@ -45,7 +70,8 @@ class _SubsetView:
         return self.base.shape_budget()
 
 
-def document_metrics(fp: str, description: str, results) -> None:
+def document_metrics(fp: str, description: str, results,
+                     coordinator: bool = True) -> None:
     """Pretty-print + progress-file row (`scripts/train_gnn.py:48-59`)."""
     metrics, counts = np.around(results[0], 4), results[1]
     print(f"\n#{description} Results#")
@@ -55,38 +81,166 @@ def document_metrics(fp: str, description: str, results) -> None:
     print(f"WT Node Dice: {metrics[1]}, CT Node Dice: {metrics[2]}, ET Node Dice: {metrics[3]}")
     print(f"WT Voxel Dice: {metrics[4]}, CT Voxel Dice: {metrics[5]}, ET Voxel Dice: {metrics[6]}")
     print(f"WT HD95: {metrics[7]}, CT HD95: {metrics[8]}, ET HD95: {metrics[9]}")
-    folds.update_progress_file(fp, description, metrics[0], metrics[4:7])
+    if coordinator:
+        folds.update_progress_file(fp, description, metrics[0], metrics[4:7])
 
 
-def train_on_full_dataset(args, hp, progress_fp, dataset):
+# ---------------------------------------------------------------------------
+# minibatch regimes: single-device + DP/TP (same engine, different placement)
+# ---------------------------------------------------------------------------
+
+
+def _make_trainer(args, hp, train_view, mesh):
+    if args.parallel == "dp":
+        from ..parallel.dp import ParallelGNNTrainer
+
+        return ParallelGNNTrainer(args.model_type, hp, train_view, mesh=mesh,
+                                  impl=getattr(args, "impl", None))
+    return GNNTrainer(args.model_type, hp, train_view,
+                      impl=getattr(args, "impl", None))
+
+
+def _shard_for_process(indices):
+    """DP multi-host: this process trains/evaluates only its shard."""
+    from ..parallel.multihost import process_shard
+
+    return process_shard(list(indices))
+
+
+def _evaluate_global(model, dataset, indices):
+    """Evaluate this process's shard, then combine across hosts (identity on
+    a single process)."""
+    from ..parallel.multihost import combine_eval_results
+
+    local = _shard_for_process(indices)
+    metrics, counts = model.evaluate(dataset, local)
+    metrics, counts, _ = combine_eval_results(metrics, counts, len(local))
+    return metrics, counts
+
+
+def train_on_full_dataset(args, hp, progress_fp, dataset, mesh=None,
+                          coordinator=True):
     print("Training on full dataset")
-    model = GNNTrainer(args.model_type, hp, dataset,
-                       impl=getattr(args, "impl", None))
+    all_idx = list(range(len(dataset)))
+    train_view = _SubsetView(dataset, _shard_for_process(all_idx))
+    model = _make_trainer(args, hp, train_view, mesh)
     resume = getattr(args, "resume_from", None)
     if resume:
         print(f"Resuming from {resume}")
         model.restore(os.path.expanduser(resume))
     folds.train_on_fold(model, args.output_dir + os.sep, hp.n_epochs,
-                        args.run_name, 1, log_fp=progress_fp + ".jsonl")
-    document_metrics(progress_fp, f"{args.run_name}_full", model.evaluate(dataset))
+                        args.run_name, 1,
+                        log_fp=progress_fp + ".jsonl" if coordinator else None)
+    document_metrics(progress_fp, f"{args.run_name}_full",
+                     _evaluate_global(model, dataset, all_idx),
+                     coordinator=coordinator)
 
 
-def run_k_fold_val(args, hp, progress_fp, dataset, k):
+def run_k_fold_val(args, hp, progress_fp, dataset, k, mesh=None,
+                   coordinator=True):
     assert k > 1
     for fold_idx, (s, e) in enumerate(folds.chunk_dataset_into_folds(len(dataset), k)):
         val_idx = list(range(s, e))
         train_idx = list(range(0, s)) + list(range(e, len(dataset)))
-        train_view = _SubsetView(dataset, train_idx)
+        train_view = _SubsetView(dataset, _shard_for_process(train_idx))
         print(f"Fold contains {len(train_view)} examples")
-        model = GNNTrainer(args.model_type, hp, train_view,
-                           impl=getattr(args, "impl", None))
+        model = _make_trainer(args, hp, train_view, mesh)
         fold = fold_idx + 1
         folds.train_on_fold(model, args.output_dir + os.sep, hp.n_epochs,
-                            args.run_name, fold, log_fp=progress_fp + ".jsonl")
+                            args.run_name, fold,
+                            log_fp=progress_fp + ".jsonl" if coordinator else None)
         document_metrics(progress_fp, f"{args.run_name}_f{fold}_train",
-                         model.evaluate(dataset, train_idx))
+                         _evaluate_global(model, dataset, train_idx),
+                         coordinator=coordinator)
         document_metrics(progress_fp, f"{args.run_name}_f{fold}_val",
-                         model.evaluate(dataset, val_idx))
+                         _evaluate_global(model, dataset, val_idx),
+                         coordinator=coordinator)
+
+
+# ---------------------------------------------------------------------------
+# halo regime: node-partitioned giant unions
+# ---------------------------------------------------------------------------
+
+
+def _run_halo(args, hp, progress_fp, dataset, mesh, coordinator=True):
+    """Halo training driver: every host builds the same unions (the graph is
+    global, partitioned by NODE range over the mesh — samples are not sharded
+    per host the way DP shards them), trains with the fold/early-stop contract,
+    and evaluates with the reference's 10-metric vector."""
+    from ..parallel.halo_data import build_partitioned_sets
+    from ..parallel.halo_trainer import HaloTrainer
+
+    n_parts = mesh.shape["data"]
+    gpb = args.graphs_per_batch or hp.batch_size
+    k = args.num_folds
+
+    def make_trainer(train_batches, variant, w):
+        # resume applies to full-dataset runs only (matching the single-device
+        # CLI contract); k-fold folds always start fresh
+        resume = (os.path.expanduser(args.resume_from)
+                  if args.resume_from and k == 1 else None)
+        return HaloTrainer(args.model_type, hp,
+                           [b.pg for b in train_batches], mesh,
+                           variant=variant, halo_width=w, resume_from=resume)
+
+    if k == 1:
+        all_idx = list(range(len(dataset)))
+        (batches,), variant, w = build_partitioned_sets(
+            dataset, n_parts, gpb, args.halo_variant, [all_idx])
+        print(f"halo: {len(batches)} union graph(s) of <= {gpb} samples, "
+              f"{n_parts} shards, variant={variant}"
+              + (f", W={w}" if w else ""))
+        model = make_trainer(batches, variant, w)
+        folds.train_on_fold(model, args.output_dir + os.sep, hp.n_epochs,
+                            args.run_name, 1,
+                            log_fp=progress_fp + ".jsonl" if coordinator else None)
+        document_metrics(progress_fp, f"{args.run_name}_full",
+                         model.evaluate(batches, dataset),
+                         coordinator=coordinator)
+        return
+
+    for fold_idx, (s, e) in enumerate(
+            folds.chunk_dataset_into_folds(len(dataset), k)):
+        val_idx = list(range(s, e))
+        train_idx = list(range(0, s)) + list(range(e, len(dataset)))
+        (train_b, val_b), variant, w = build_partitioned_sets(
+            dataset, n_parts, gpb, args.halo_variant, [train_idx, val_idx])
+        print(f"Fold contains {len(train_idx)} examples "
+              f"({len(train_b)} unions, variant={variant})")
+        model = make_trainer(train_b, variant, w)
+        fold = fold_idx + 1
+        # the partitioned regime exists for graphs that cannot be evaluated
+        # on one chip, so select/early-stop on the device-side VAL loss
+        folds.train_on_fold(model, args.output_dir + os.sep, hp.n_epochs,
+                            args.run_name, fold,
+                            log_fp=progress_fp + ".jsonl" if coordinator else None,
+                            val_loss_fn=lambda: model.evaluate_loss(val_b))
+        document_metrics(progress_fp, f"{args.run_name}_f{fold}_train",
+                         model.evaluate(train_b, dataset),
+                         coordinator=coordinator)
+        document_metrics(progress_fp, f"{args.run_name}_f{fold}_val",
+                         model.evaluate(val_b, dataset),
+                         coordinator=coordinator)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _parse_mesh(spec: str | None, parallel: str):
+    """'D[,M]' -> Mesh; default = all devices on the data axis."""
+    if parallel == "single":
+        return None
+    from ..parallel.mesh import make_mesh
+
+    if not spec:
+        return make_mesh()
+    parts = [int(x) for x in spec.split(",")]
+    n_data = parts[0]
+    n_model = parts[1] if len(parts) > 1 else 1
+    if parallel == "halo" and n_model != 1:
+        raise SystemExit("--parallel halo partitions nodes over the data "
+                         "axis only; use --mesh D (n_model=1)")
+    return make_mesh(n_data, n_model)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -109,33 +263,74 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume_from", default=None, type=str,
                    help="checkpoint to resume training from (params + optimizer "
                         "state + epoch; full-dataset runs, -k 1)")
+    # ---- distribution (parallel/) ----
+    p.add_argument("--parallel", default="single",
+                   choices=["single", "dp", "halo"],
+                   help="single: one device; dp: shard the minibatch over the "
+                        "mesh data axis (optionally weights over model); halo: "
+                        "node-partition one giant union graph per step")
+    p.add_argument("--mesh", default=None, type=str, metavar="D[,M]",
+                   help="device mesh: data axis size[, model axis size]; "
+                        "default = all visible devices x 1")
+    p.add_argument("--halo_variant", default="p2p",
+                   choices=["p2p", "all_gather"],
+                   help="halo exchange: p2p = boundary-only ppermute (falls "
+                        "back automatically), all_gather = full halo")
+    p.add_argument("--graphs_per_batch", default=None, type=int,
+                   help="halo: samples per union graph (default: batch_size)")
+    # ---- multi-host SPMD ----
+    p.add_argument("--coordinator", default=None, type=str,
+                   metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator address")
+    p.add_argument("--num_processes", default=None, type=int,
+                   help="multi-host: total process count (run this command "
+                        "once per host)")
+    p.add_argument("--process_id", default=None, type=int,
+                   help="multi-host: this process's index")
     return p
 
 
 def main(argv=None) -> None:
     import contextlib
 
+    args = build_parser().parse_args(argv)
+    # multi-host bring-up must precede ANY device access
+    from ..parallel.mesh import initialize_multihost
+
+    initialize_multihost(args.coordinator, args.num_processes, args.process_id)
+
     import jax
 
     from ..runtime import enable_compilation_cache
 
-    args = build_parser().parse_args(argv)
     enable_compilation_cache()
+    from ..parallel.multihost import is_coordinator
+
+    coordinator = is_coordinator()
     dataset = ImageGraphDataset(os.path.expanduser(args.data_dir),
                                 args.data_prefix, read_image=False,
                                 read_graph=True, read_label=True)
     hp = (random_hyperparameters(args.model_type) if args.random_hyperparams
           else hardcoded_hyperparameters(args.model_type))
+    mesh = _parse_mesh(args.mesh, args.parallel)
     args.output_dir = os.path.expanduser(args.output_dir)
     progress_fp = os.path.join(args.output_dir, f"{args.run_name}.txt")
-    folds.create_run_progress_file(progress_fp, args.model_type, hp)
+    if coordinator:
+        folds.create_run_progress_file(progress_fp, args.model_type, hp)
     profiler = (jax.profiler.trace(os.path.expanduser(args.profile))
                 if args.profile else contextlib.nullcontext())
     with profiler:
-        if args.num_folds == 1:
-            train_on_full_dataset(args, hp, progress_fp, dataset)
+        if args.parallel == "halo":
+            if args.num_folds < 1:
+                raise ValueError("Number of folds must be a positive integer")
+            _run_halo(args, hp, progress_fp, dataset, mesh,
+                      coordinator=coordinator)
+        elif args.num_folds == 1:
+            train_on_full_dataset(args, hp, progress_fp, dataset, mesh,
+                                  coordinator=coordinator)
         elif args.num_folds > 1:
-            run_k_fold_val(args, hp, progress_fp, dataset, args.num_folds)
+            run_k_fold_val(args, hp, progress_fp, dataset, args.num_folds,
+                           mesh, coordinator=coordinator)
         else:
             raise ValueError("Number of folds must be a positive integer")
 

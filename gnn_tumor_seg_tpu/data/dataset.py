@@ -97,6 +97,18 @@ class ImageGraphDataset:
                             bucket_size(d_max, DEGREE_BUCKETS))
         return self._budget
 
+    def get_sample(self, i: int):
+        """Raw (unpadded) GraphSample — feats/src/dst/labels arrays. The
+        partitioned (halo) training path consumes these directly, since it
+        builds its own giant-graph layout (parallel/halo_data.py) instead of
+        the per-sample padded ELL of get_graph."""
+        s = self._load_sample(self.ids[i])
+        if not self.read_label:
+            import dataclasses
+
+            s = dataclasses.replace(s, labels=None)
+        return s
+
     def get_graph(self, i: int) -> GraphBatch:
         mri_id = self.ids[i]
         if self._cache is not None:

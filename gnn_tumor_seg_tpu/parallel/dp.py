@@ -67,6 +67,67 @@ class ParallelGNNTrainer(GNNTrainer):
         shardings = state_shardings(self.state, mesh)
         self.state = jax.device_put(self.state, shardings)
         self._state_shardings = shardings
+        if jax.process_count() > 1 and train_data is not None:
+            self._sync_global_budgets()
+
+    # ------------------------------------------------------------ multi-host
+    def _sync_global_budgets(self) -> None:
+        """SPMD liveness: every host must compile the SAME step shapes, or the
+        gradient collectives deadlock. Node/degree buckets and the tiling-U
+        budget are derived from each host's LOCAL data shard, so agree on the
+        global max up front (one allgather at init)."""
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        n_pad, d_pad = self._shape_budget
+        u = 0
+        if self.impl == "pallas":
+            # one pass over the local shard: loads + tiles every graph (the
+            # cache/prefetch would do this on epoch 1 anyway)
+            for i in range(len(self.train_data)):
+                u = max(u, self._get_graph(i).tiled.unique_budget)
+        rows = multihost_utils.process_allgather(
+            np.asarray([n_pad, d_pad, u], np.int64))
+        n_pad, d_pad, u = np.max(np.atleast_2d(rows), axis=0)
+        self._shape_budget = (int(n_pad), int(d_pad))
+        self._u_budget = -(-int(u) // 32) * 32
+
+    def _local_batch_size(self) -> int:
+        """hp.batch_size is the GLOBAL batch; each host contributes its
+        1/process_count slice (equal shard lengths from process_shard keep
+        steps-per-epoch identical across hosts)."""
+        n_proc = jax.process_count()
+        if n_proc <= 1:
+            return self.hp.batch_size
+        if self.hp.batch_size % n_proc:
+            raise ValueError(
+                f"global batch_size {self.hp.batch_size} must divide evenly "
+                f"over {n_proc} processes")
+        return self.hp.batch_size // n_proc
+
+    def _assemble_batch(self, graphs, n_pad: int, d_pad: int) -> GraphBatch:
+        local = super()._assemble_batch(graphs, n_pad, d_pad)
+        if jax.process_count() <= 1:
+            return local
+        from .multihost import make_global_batch
+
+        return make_global_batch(local, data_sharding(self.mesh))
+
+    def save_weights(self, folder: str, name: str,
+                     include_opt_state: bool = True) -> None:
+        """Coordinator-only checkpoint write with a cross-process barrier
+        (single-process: plain write) — multi-host runs must not double-write
+        (parallel/multihost.py)."""
+        from .multihost import save_checkpoint_coordinator
+
+        save_checkpoint_coordinator(
+            f"{folder}{name}.ckpt",
+            self.state.params,
+            self.model_type,
+            self.hp,
+            opt_state=self.state.opt_state if include_opt_state else None,
+            extra={"epoch": int(self.state.epoch)},
+        )
 
     def _build_step(self):
         # note: self.mesh is set before super().__init__ runs, so it is visible

@@ -70,11 +70,14 @@ class PartitionedGraph:
 
 def partition_graph(feats: np.ndarray, src: np.ndarray, dst: np.ndarray,
                     labels: np.ndarray | None, n_parts: int,
-                    shard_pad_to: int | None = None) -> PartitionedGraph:
+                    shard_pad_to: int | None = None,
+                    d_pad_to: int | None = None) -> PartitionedGraph:
     """Host-side: contiguous node partition -> PartitionedGraph.
 
     Contiguous ranges keep most supervoxel edges local (SLIC supervoxel ids are
     spatially coherent), which the future boundary-only exchange exploits.
+    shard_pad_to / d_pad_to let a caller pin shapes across a sequence of
+    partitioned batches so every batch hits the same compiled step.
     """
     n = feats.shape[0]
     shard = -(-n // n_parts)
@@ -85,6 +88,8 @@ def partition_graph(feats: np.ndarray, src: np.ndarray, dst: np.ndarray,
 
     deg = np.bincount(dst, minlength=n)
     d_pad = -(-max(int(deg.max()), 1) // 8) * 8
+    if d_pad_to is not None:
+        d_pad = max(d_pad, d_pad_to)
 
     nbr = np.zeros((total, d_pad), np.int32)
     mask = np.zeros((total, d_pad), np.float32)
@@ -207,7 +212,10 @@ class HaloGraphSage:
 
 
 def partition_graph_p2p(feats: np.ndarray, src: np.ndarray, dst: np.ndarray,
-                        labels: np.ndarray | None, n_parts: int):
+                        labels: np.ndarray | None, n_parts: int,
+                        shard_pad_to: int | None = None,
+                        d_pad_to: int | None = None,
+                        halo_pad_to: int | None = None):
     """Contiguous node partition with *boundary-only* halo metadata.
 
     Requires 1-shard locality: every edge connects nodes in the same or an
@@ -223,6 +231,8 @@ def partition_graph_p2p(feats: np.ndarray, src: np.ndarray, dst: np.ndarray,
     n = feats.shape[0]
     per = -(-n // n_parts)
     shard = -(-per // 8) * 8
+    if shard_pad_to is not None:
+        shard = max(shard, -(-shard_pad_to // 8) * 8)
     total = shard * n_parts
 
     shard_of = lambda i: i // per
@@ -243,11 +253,15 @@ def partition_graph_p2p(feats: np.ndarray, src: np.ndarray, dst: np.ndarray,
     if right.any():
         need = max(need, int((shard - off_of(src[right])).max()))
     W = -(-need // 8) * 8
+    if halo_pad_to is not None:
+        W = max(W, -(-halo_pad_to // 8) * 8)
     if W > shard:
         raise ValueError("halo wider than a shard; use partition_graph")
 
     deg = np.bincount(dst, minlength=n)
     d_pad = -(-max(int(deg.max()), 1) // 8) * 8
+    if d_pad_to is not None:
+        d_pad = max(d_pad, d_pad_to)
 
     def to_padded(i):
         return (i // per) * shard + (i % per)

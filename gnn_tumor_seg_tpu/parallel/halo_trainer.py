@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import HyperParams
-from ..train.checkpoint import load_checkpoint, load_opt_state, save_checkpoint
+from ..train.checkpoint import load_checkpoint, load_opt_state
 from ..train.optim import apply_updates, make_train_state
 from .halo import (HaloGAT, HaloGATP2P, HaloGraphSage, HaloGraphSageP2P,
                    PartitionedGraph)
@@ -69,9 +69,25 @@ def init_halo_net(model_type: str, hp: HyperParams, mesh: Mesh,
 def shard_partitioned(pg: PartitionedGraph, mesh: Mesh,
                       axis: str = "data") -> PartitionedGraph:
     """Place a PartitionedGraph with its leading shard axis on the mesh axis,
-    so each device holds only its own node shard in HBM."""
+    so each device holds only its own node shard in HBM.
+
+    Multi-host: every process holds the full host-side arrays (the union is
+    built identically on all hosts) and hands each local device just its slice
+    via make_array_from_callback — device_put cannot target non-addressable
+    devices."""
+    import numpy as np
+
     ns = NamedSharding(mesh, P(axis))
-    put = lambda x: None if x is None else jax.device_put(x, ns)
+    if jax.process_count() > 1:
+        def put(x):
+            if x is None:
+                return None
+            h = np.asarray(x)
+            return jax.make_array_from_callback(h.shape, ns,
+                                                lambda idx: h[idx])
+    else:
+        def put(x):
+            return None if x is None else jax.device_put(x, ns)
     return dataclasses.replace(
         pg, nbr=put(pg.nbr), nbr_mask=put(pg.nbr_mask),
         node_mask=put(pg.node_mask), feats=put(pg.feats),
@@ -95,6 +111,7 @@ class HaloTrainer:
         self.model_type = model_type
         self.hp = hp
         self.mesh = mesh
+        self.axis = axis
         self.model = init_halo_net(model_type, hp, mesh, axis=axis,
                                    variant=variant, halo_width=halo_width)
         self.class_weights = jnp.asarray(hp.class_weights, jnp.float32)
@@ -106,6 +123,12 @@ class HaloTrainer:
         if resume_from:
             self._resume(resume_from)
         self._step = self._build_step()
+        # eval-side jitted functions: the sharded forward (logits stay
+        # partitioned on-device) and the fully device-side loss (for cheap
+        # per-epoch validation / early-stop without any host gather)
+        self._fwd = jax.jit(self.model.apply)
+        self._loss = jax.jit(
+            lambda params, pg: self.model.loss(params, pg, self.class_weights))
 
     # ------------------------------------------------------------------ step
     def _build_step(self):
@@ -127,12 +150,95 @@ class HaloTrainer:
         self.state = self.state.next_epoch()
         return total / max(len(self.graphs), 1)
 
+    # ------------------------------------------------------------------ eval
+    def evaluate_loss(self, batches) -> float:
+        """Mean validation loss over PartitionedBatch(es), entirely on-device
+        in the partitioned regime (shard-local forward, GSPMD-reduced weighted
+        CE) — the cheap per-epoch early-stop signal for halo runs."""
+        if not batches:
+            return float("nan")
+        total = 0.0
+        for b in batches:
+            pg = shard_partitioned(b.pg, self.mesh, self.axis)
+            total += float(self._loss(self.state.params, pg))
+        return total / len(batches)
+
+    def evaluate(self, batches, data=None):
+        """Per-brain metrics averaged over the set — the reference's exact
+        10-metric vector + 8 label counts (`model/gnn_model.py:51-74`), in the
+        partitioned regime.
+
+        The expensive part — the forward over each giant union graph — runs
+        sharded over the mesh (that is the regime's whole point); only the
+        tiny per-node results (logits [N,C], ~100 KB/brain) are gathered to
+        host, where the per-BRAIN slicing/averaging contract of the reference
+        is applied with the same metric code as the single-device engine
+        (union-level psum would average at the wrong granularity). Voxel
+        metrics come from `data` (supervoxel partition + voxel labels); pass
+        data=None to get node-level metrics only (voxel columns = 0), e.g.
+        when label volumes live on another host.
+
+        batches: Sequence[PartitionedBatch] (parallel/halo_data.py).
+        Returns (avg_metrics[10], total_counts[8]) like GNNTrainer.evaluate.
+        """
+        import numpy as np
+
+        from .. import evaluation
+        from ..data.image import project_nodes_to_img
+        from ..train.losses import weighted_cross_entropy
+        from .halo_data import unpermute_nodes
+
+        def fetch(arr):
+            """Device->host for a (possibly globally sharded) array; on
+            multi-host the logits shards live on other processes' devices, so
+            allgather them (tiny: [N, C] floats)."""
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                return np.asarray(
+                    multihost_utils.process_allgather(arr, tiled=True))
+            return jax.device_get(arr)
+
+        rows_m, rows_c = [], []
+        for b in batches:
+            pg = shard_partitioned(b.pg, self.mesh, self.axis)
+            logits_sharded = self._fwd(self.state.params, pg)
+            logits = unpermute_nodes(fetch(logits_sharded), b.n_total)
+            labels = (None if b.pg.labels is None else
+                      unpermute_nodes(jax.device_get(b.pg.labels), b.n_total))
+            assert labels is not None, "evaluate requires labelled graphs"
+            for s, mri_id in enumerate(b.sample_ids):
+                lo, hi = int(b.offsets[s]), int(b.offsets[s + 1])
+                lg, lb = logits[lo:hi], labels[lo:hi]
+                loss = float(weighted_cross_entropy(
+                    jnp.asarray(lg), jnp.asarray(lb), self.class_weights))
+                preds = np.argmax(lg, axis=-1)
+                m = np.zeros(10)
+                m[0] = loss
+                m[1:4] = evaluation.calculate_node_dices(preds, lb)
+                if data is not None:
+                    sv = data.get_supervoxel_partitioning(mri_id)
+                    true_vox = data.get_voxel_labels(mri_id)
+                    pred_vox = project_nodes_to_img(sv, preds)
+                    m[4:] = evaluation.calculate_brats_metrics(pred_vox, true_vox)
+                rows_m.append(m)
+                rows_c.append(np.concatenate([
+                    evaluation.count_node_labels(preds),
+                    evaluation.count_node_labels(lb),
+                ]))
+        return (np.mean(np.stack(rows_m), axis=0),
+                np.sum(np.stack(rows_c), axis=0))
+
     # ----------------------------------------------------------- checkpoints
     def save_weights(self, folder: str, name: str,
                      include_opt_state: bool = True) -> None:
         """Standard config-embedded checkpoint — byte-compatible with the
-        single-device GNNTrainer's, so halo-trained params load anywhere."""
-        save_checkpoint(
+        single-device GNNTrainer's, so halo-trained params load anywhere.
+        Multi-host SPMD runs write from the coordinator only, with a barrier
+        (parallel/multihost.py); single-process this is a plain write."""
+        from .multihost import save_checkpoint_coordinator
+
+        save_checkpoint_coordinator(
             f"{folder}{name}.ckpt",
             self.state.params,
             self.model_type,

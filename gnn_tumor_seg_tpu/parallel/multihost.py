@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 __all__ = ["process_shard", "is_coordinator", "save_checkpoint_coordinator",
-           "make_global_batch"]
+           "make_global_batch", "combine_eval_results"]
 
 
 def process_shard(items: Sequence, process_index: int | None = None,
@@ -80,6 +80,29 @@ def save_checkpoint_coordinator(path: str, params: Any, model_type: str,
 
         multihost_utils.sync_global_devices(f"ckpt:{path}")
     return wrote
+
+
+def combine_eval_results(metrics: np.ndarray, counts: np.ndarray,
+                         n_local: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Combine per-host evaluation results into the global vector.
+
+    Each host evaluates only its shard of the samples; the global result is
+    the sample-count-weighted mean of the 10-metric vectors and the sum of the
+    label counts (matching what a single host evaluating everything would
+    compute). Single-process: identity. Returns (metrics, counts, n_total).
+    """
+    metrics = np.asarray(metrics, np.float64)
+    counts = np.asarray(counts, np.float64)
+    if jax.process_count() <= 1:
+        return metrics, counts, n_local
+    from jax.experimental import multihost_utils
+
+    packed = np.concatenate([metrics * n_local, counts, [float(n_local)]])
+    rows = multihost_utils.process_allgather(packed)   # [P, 10+8+1]
+    n_total = rows[:, -1].sum()
+    g_metrics = rows[:, :metrics.size].sum(axis=0) / max(n_total, 1.0)
+    g_counts = rows[:, metrics.size:-1].sum(axis=0)
+    return g_metrics, g_counts, int(n_total)
 
 
 def make_global_batch(local_leaves: Any, sharding) -> Any:

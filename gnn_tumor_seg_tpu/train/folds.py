@@ -67,27 +67,38 @@ def log_jsonl(fp: str, record: dict) -> None:
 
 
 def train_on_fold(model, checkpoint_dir: str, n_epochs: int, run_name: str,
-                  fold: int, log_fp: str | None = None) -> None:
+                  fold: int, log_fp: str | None = None,
+                  val_loss_fn=None) -> None:
     """Run n_epochs epochs on `model` (a trainer exposing run_epoch() and
     save_weights(dir, name)); checkpoint on best loss; early-stop on converged
-    train loss after half the epochs."""
+    loss after half the epochs.
+
+    val_loss_fn (optional, no reference counterpart — it early-stops on TRAIN
+    loss only, `utils/training_helpers.py:48-51`): a zero-arg callable
+    returning a validation loss; when given, checkpointing and early-stop
+    select on it instead of the train loss (e.g. a halo run's device-side
+    HaloTrainer.evaluate_loss over the val partition)."""
     lowest_loss = 1000.0
     for i in range(1, n_epochs + 1):
         t0 = time.time()
         epoch_loss = float(model.run_epoch())
         dt = time.time() - t0
+        select_loss = float(val_loss_fn()) if val_loss_fn else epoch_loss
         print(f"____Epoch {i}_____")
         print(epoch_loss)
         if log_fp:
             record = {"event": "epoch", "run": run_name, "fold": fold,
                       "epoch": i, "loss": epoch_loss, "seconds": dt}
+            if val_loss_fn:
+                record["val_loss"] = select_loss
             record.update(getattr(model, "last_epoch_stats", {}))
             log_jsonl(log_fp, record)
-        if i > n_epochs / 2 and epoch_loss > lowest_loss + 0.001:
-            print("Fold terminated early due to converged train loss")
+        if i > n_epochs / 2 and select_loss > lowest_loss + 0.001:
+            print("Fold terminated early due to converged "
+                  + ("val" if val_loss_fn else "train") + " loss")
             print(f"Ran for {i} epochs")
             return
-        if epoch_loss < lowest_loss:
-            lowest_loss = epoch_loss
+        if select_loss < lowest_loss:
+            lowest_loss = select_loss
             model.save_weights(checkpoint_dir, f"{run_name}_f{fold}")
     print(f"Finished fold {fold} for run {run_name}")

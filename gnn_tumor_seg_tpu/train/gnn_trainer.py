@@ -171,6 +171,18 @@ class GNNTrainer:
         t.start()
 
     # ---------------------------------------------------------------- epochs
+    def _local_batch_size(self) -> int:
+        """Graphs THIS process contributes per step. Single-process: the full
+        batch; multi-host DP (ParallelGNNTrainer) divides the global batch."""
+        return self.hp.batch_size
+
+    def _assemble_batch(self, graphs, n_pad: int, d_pad: int) -> GraphBatch:
+        """Stack per-sample graphs into the step's GraphBatch. Overridden by
+        the multi-host DP trainer to assemble a global sharded array from the
+        per-process slices (parallel/multihost.py:make_global_batch)."""
+        return batch_graphs(graphs, n_pad=n_pad, d_pad=d_pad,
+                            u_pad=self._u_budget or None)
+
     def run_epoch(self) -> float:
         """One shuffled pass over the training data; returns mean batch loss.
 
@@ -181,7 +193,7 @@ class GNNTrainer:
 
         assert self.train_data is not None, "trainer constructed without data"
         data = self.train_data
-        bs = self.hp.batch_size
+        bs = self._local_batch_size()
         # epoch-keyed RNG (not a stateful stream): a trainer resumed from a
         # checkpoint at epoch k shuffles/drops exactly like an uninterrupted
         # run — resume is bit-continuous by construction
@@ -209,8 +221,7 @@ class GNNTrainer:
                             if g.tiled is not None)
                 if u_obs > self._u_budget:  # quantize: rare, bounded recompiles
                     self._u_budget = -(-u_obs // 32) * 32
-            batch = batch_graphs(graphs, n_pad=n_pad, d_pad=d_pad,
-                                 u_pad=self._u_budget or None)
+            batch = self._assemble_batch(graphs, n_pad, d_pad)
             dropout_key, sub = jax.random.split(dropout_key)
             from ..ops.pallas.precision import precision_scope
 
