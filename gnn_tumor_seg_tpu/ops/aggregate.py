@@ -254,15 +254,38 @@ def aggregate_neighbors(
     impl='pallas' uses the one-hot MXU kernels (requires `tiled` — the
     GraphBatch.with_tiled_aux() tables — and a symmetric graph).
     edge_weight [B, N, D] (sum/mean only) weights each in-edge; mean becomes a
-    weighted average. Weighted aggregation runs the dense path (the Pallas
-    kernels are unweighted; weighted graphs are an offline capability — the
-    reference computes but never consumes weights, `graphgen.py:120-153`).
+    weighted average (Gaussian intensity weights of `graphgen.py:120-153`,
+    which the reference computes but never consumes). On impl='pallas' the
+    weighted combine rides the SAME fused weighted-histogram MXU kernel the
+    GAT path uses (ops/pallas/weighted_sum.py, alpha := edge weight, H=1) with
+    its scatter-free custom VJP; other impls use the dense weighted path.
+    (Fast-mode caveat: the kernel's grad wrt the WEIGHTS — input data, not a
+    training gradient — carries a bf16 cancellation residual at degree-1
+    weighted-mean nodes where the true grad is an exact-zero difference; the
+    feature gradient, the one training consumes, is oracle-parity-tested in
+    both modes.)
     """
     assert op in _VALID_OPS, op
     impl = impl or _DEFAULT_IMPL
     if edge_weight is not None:
         if op == "max":
             raise ValueError("edge weights apply to sum/mean aggregation only")
+        if impl == "pallas":
+            assert tiled is not None, (
+                "impl='pallas' needs tile-compaction tables: call "
+                "GraphBatch.with_tiled_aux() before batching/jit"
+            )
+            from .pallas.weighted_sum import tiled_weighted_sum
+
+            s = tiled_weighted_sum(
+                h[:, :, None, :], edge_weight[..., None].astype(jnp.float32),
+                tiled, nbr_mask)[:, :, 0, :]
+            if op == "mean":
+                denom = jnp.maximum(
+                    jnp.sum(nbr_mask * edge_weight, axis=-1, keepdims=True),
+                    1e-12)
+                s = (s / denom).astype(h.dtype)
+            return s
         if symmetric:
             return _wagg_symmetric(h, edge_weight, nbr, nbr_mask, op)
         return _wagg_fwd_impl(h, edge_weight, nbr, nbr_mask, op)

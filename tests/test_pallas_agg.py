@@ -242,3 +242,69 @@ def test_fused_gat_attention_matches_dense():
             assert bad.mean() < 5e-3, (name, bad.sum(), a.size)
         else:
             np.testing.assert_allclose(a, b, err_msg=name, **_tol(0.005))
+
+
+@pytest.mark.parametrize("op", ["sum", "mean"])
+def test_edge_weighted_aggregation_pallas_matches_dense(op):
+    """GraphBatch.edge_weight on the Pallas path (the GAT weighted-histogram
+    kernel with alpha := edge weight) vs the dense weighted oracle — forward
+    and both grads, under the active precision mode (VERDICT r2 item 6)."""
+    rng = np.random.default_rng(17)
+    graphs = []
+    for s in range(2):
+        feats, src, dst, labels = random_graph(rng, 220, avg_deg=6, f_dim=16)
+        lo = np.minimum(src, dst).astype(np.float64)
+        hi = np.maximum(src, dst).astype(np.float64)
+        w = (0.1 + np.abs(np.sin(lo * 12.9898 + hi * 78.233))).astype(np.float32)
+        graphs.append(graph_from_arrays(feats, src, dst, labels,
+                                        edge_weights=w).with_tiled_aux())
+    g = batch_graphs(graphs)
+    h = jnp.asarray(np.random.default_rng(18).normal(size=g.feats.shape)
+                    .astype(np.float32))
+
+    def pallas_fn(h_, ew_):
+        return aggregate_neighbors(h_, g.nbr, g.nbr_mask, op, impl="pallas",
+                                   tiled=g.tiled, edge_weight=ew_)
+
+    def dense_fn(h_, ew_):
+        return aggregate_neighbors(_ref_input(h_), g.nbr, g.nbr_mask, op,
+                                   impl="dense", edge_weight=_ref_input(ew_))
+
+    got = pallas_fn(h, g.edge_weight)
+    want = dense_fn(h, g.edge_weight)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **_tol(0.003))
+
+    # grads wrt features AND weights through the kernel's custom VJP
+    ct = _ref_input(2.0 * want)
+    _, vjp_p = jax.vjp(pallas_fn, h, g.edge_weight)
+    _, vjp_d = jax.vjp(dense_fn, h, g.edge_weight)
+    gh_p, gw_p = vjp_p(ct)
+    gh_d, gw_d = vjp_d(ct)
+    np.testing.assert_allclose(np.asarray(gh_p), np.asarray(gh_d), **_tol(0.005))
+    m = np.asarray(g.nbr_mask)
+    # grad wrt the WEIGHTS (input data, never a training gradient — edge
+    # weights are not parameters): for degree-1 nodes the weighted-mean
+    # grad_w is an exact-zero cancellation <g, h_nbr - out>; the dense VJP
+    # computes the cancelling form exactly, the fast-mode kernel computes the
+    # two terms at bf16, leaving an O(bf16_eps * |g||h| / denom) residual
+    gw_tol = ({"rtol": 5e-2, "atol": 0.5} if _FAST and op == "mean"
+              else _tol(0.005))
+    np.testing.assert_allclose(np.asarray(gw_p) * m, np.asarray(gw_d) * m,
+                               **gw_tol)
+
+
+def test_weighted_sage_model_pallas_matches_dense():
+    """Model-level: a weighted-graph GSmean forward agrees pallas vs dense."""
+    rng = np.random.default_rng(23)
+    feats, src, dst, labels = random_graph(rng, 220, avg_deg=6, f_dim=16)
+    lo = np.minimum(src, dst).astype(np.float64)
+    hi = np.maximum(src, dst).astype(np.float64)
+    w = (0.1 + np.abs(np.sin(lo * 3.33 + hi * 7.77))).astype(np.float32)
+    g = graph_from_arrays(feats, src, dst, labels,
+                          edge_weights=w).with_tiled_aux()
+    model = GraphSage(16, [32, 32], 4, "mean")
+    params = model.init(jax.random.PRNGKey(0))
+    out_p = model.apply(params, g, train=False, impl="pallas")
+    out_d = model.apply(params, g, train=False, impl="dense")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
+                               **_tol(0.003))
