@@ -98,16 +98,22 @@ def gat_conv_apply(
                   and graph.num_nodes_padded >= _pallas_min_nodes())
     if use_pallas:
         assert graph.tiled is not None, "impl='pallas' needs GraphBatch.with_tiled_aux()"
-        if attn_drop <= 0.0 or rngs[1] is None:
-            # fused path: edge softmax + weighted combine in one kernel;
-            # attention dropout needs materialized alpha, so it falls through
-            # to the decomposed path below
+        if (attn_drop <= 0.0 or rngs[1] is None) and activation in (
+                None, jax.nn.elu):
+            # fused path: edge softmax + weighted combine + the layer epilogue
+            # (residual + bias + ELU) in one kernel; attention dropout needs
+            # materialized alpha, so it falls through to the decomposed path
             from ..ops.pallas.fused_gat import fused_gat_attention
 
+            res = None
+            if residual:
+                res = (h_in @ params["w_res"] if "w_res" in params
+                       else h_in)                       # [B, N, H*F]
+            act = "elu" if activation is jax.nn.elu else None
             out = fused_gat_attention(z, el, er, graph.tiled, graph.nbr_mask,
-                                      negative_slope)
-            return _gat_epilogue(params, out, h_in, residual, num_heads,
-                                 out_feats, activation)
+                                      negative_slope, act, res,
+                                      params["bias"])
+            return out                                  # epilogue fused
         from ..ops.pallas.slot_gather import slot_gather
 
         el_src = slot_gather(el, graph.tiled, graph.nbr_mask)   # [B, N, D, H]

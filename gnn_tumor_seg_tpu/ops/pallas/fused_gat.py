@@ -100,8 +100,12 @@ def _gather_packed(z, el, aux):
     return gather_unique_rows(packed, aux.uniq)
 
 
-def _fwd_kernel(lidx_ref, mask_ref, er_ref, g_ref, out_ref, alpha_ref, pre_ref,
-                *, H, F, slope, fast):
+def _fwd_kernel(lidx_ref, mask_ref, er_ref, g_ref, *refs,
+                H, F, slope, fast, act, with_res):
+    # refs: bias_ref [1, H*F], [res_ref [1,1,TN,H*F]], out_ref, alpha_ref, pre_ref
+    bias_ref = refs[0]
+    res_ref = refs[1] if with_res else None
+    out_ref, alpha_ref, pre_ref = refs[1 + bool(with_res):]
     TN, D = lidx_ref.shape[2], lidx_ref.shape[3]
     U = g_ref.shape[2]
     lidx = lidx_ref[0, 0]
@@ -141,19 +145,39 @@ def _fwd_kernel(lidx_ref, mask_ref, er_ref, g_ref, out_ref, alpha_ref, pre_ref,
     inv = 1.0 / jnp.maximum(z_sum, 1e-20)
     alpha = [wd * inv for wd in w]                      # D x [TN, H]
 
-    # weighted combine: one histogram + hi/lo dot pair per head
+    # weighted combine: one histogram + hi/lo dot pair per head. For multi-
+    # head layers the histogram builds STACKED ([D*TN, U] multiply + sublane-
+    # block reduce) instead of D separate [TN, U] passes — VPU passes at these
+    # shapes are launch-overhead-bound (~50 ns/pass), so fewer, bigger ops
+    # win. H=1 keeps the per-slot loop: Mosaic rejects the stacked reshape
+    # next to the narrow H*F=n_classes lane blocks of the output layer.
+    oh_f_all = jnp.concatenate(oh_f, axis=0) if H > 1 else None
     outs = []
     for h in range(H):
-        whist = jnp.zeros((TN, U), jnp.float32)
-        for d in range(D):
-            whist = whist + oh_f[d] * alpha[d][:, h:h + 1]
+        if H > 1:
+            a_h = jnp.concatenate([alpha[d][:, h:h + 1] for d in range(D)],
+                                  axis=0)               # [D*TN, 1]
+            whist = jnp.sum((oh_f_all * a_h).reshape(D, TN, U), axis=0)
+        else:
+            whist = jnp.zeros((TN, U), jnp.float32)
+            for d in range(D):
+                whist = whist + oh_f[d] * alpha[d][:, h:h + 1]
         wh_hi, wh_lo = _planes(whist, fast)
         zh_hi, zh_lo = _planes(g[:, h * F:(h + 1) * F], fast)
         o = _dot(wh_hi, zh_hi)
         if not fast:
             o = o + _dot(wh_hi, zh_lo) + _dot(wh_lo, zh_hi)
         outs.append(o)
-    out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+    # fused epilogue (reference `model/networks.py:60-66` + DGL GATConv tail):
+    # combine + residual + bias + ELU in-register — saves one full-width XLA
+    # elementwise pass over [B, N, H*F] per layer
+    s = jnp.concatenate(outs, axis=1) + bias_ref[0].astype(jnp.float32)
+    if with_res:
+        s = s + res_ref[0, 0].astype(jnp.float32)
+    if act:  # ELU (alpha=1); exp argument clamped so the dead branch of the
+        # select cannot overflow to inf
+        s = jnp.where(s > 0, s, jnp.exp(jnp.minimum(s, 0.0)) - 1.0)
+    out_ref[0] = s.astype(out_ref.dtype)
     alpha_ref[0] = jnp.concatenate(alpha, axis=1)       # [TN, D*H] f32
     # pre-activations (bf16: only sign/scale needed for LeakyReLU backward)
     pre_ref[0] = jnp.concatenate(pre, axis=1).astype(jnp.bfloat16)
@@ -182,15 +206,23 @@ def _bwd_kernel(lidx_ref, mask_ref, g_ref, alpha_ref, pre_ref, gout_ref,
             m = m + _pair(go_hi, zh_lo) + _pair(go_lo, zh_hi)
         m_h.append(m)                                   # [TN, U]
 
+    # per-slot picks d_alpha[v,d,h] = m_h[v, lidx[v,d]] — STACKED: one
+    # [D*TN, U] multiply + lane reduce per head instead of D*H separate
+    # [TN, U] where+reduce passes (launch-overhead-bound at these shapes)
+    sel_all = jnp.concatenate(
+        [((iota_u == lidx[:, d:d + 1]) & (mask[:, d:d + 1] > 0)).astype(
+            jnp.float32) for d in range(D)], axis=0)    # [D*TN, U]
+    picks = []                                          # H x [D, TN, 1]
+    for h in range(H):
+        m_t = jnp.concatenate([m_h[h]] * D, axis=0)     # [D*TN, U]
+        picks.append(jnp.sum(sel_all * m_t, axis=1,
+                             keepdims=True).reshape(D, TN, 1))
     # softmax backward: d_e = alpha * (d_alpha - sum_d alpha*d_alpha)
     d_alpha = []
     s = jnp.zeros((TN, H), jnp.float32)
     for d in range(D):
-        sel = (iota_u == lidx[:, d:d + 1]) & (mask[:, d:d + 1] > 0)
-        da = jnp.concatenate(
-            [jnp.sum(jnp.where(sel, m_h[h], 0.0), axis=1, keepdims=True)
-             for h in range(H)], axis=1)                # [TN, H]
-        d_alpha.append(da)
+        da = jnp.concatenate([picks[h][d] for h in range(H)], axis=1)
+        d_alpha.append(da)                              # [TN, H]
         s = s + alpha[:, d * H:(d + 1) * H] * da
     cols = []
     for d in range(D):
@@ -315,7 +347,7 @@ def _reverse_combine(gout, alpha, d_pre, aux: TiledAux, nbr_mask):
     return d_z.reshape(B, N, H, F), d_el
 
 
-def _fused_fwd_raw(z, el, er, aux: TiledAux, nbr_mask, slope):
+def _fused_fwd_raw(z, el, er, aux: TiledAux, nbr_mask, slope, res, bias, act):
     B, N, H, F = z.shape
     T, U = aux.num_tiles, aux.unique_budget
     D = aux.lidx.shape[-1]
@@ -324,15 +356,25 @@ def _fused_fwd_raw(z, el, er, aux: TiledAux, nbr_mask, slope):
     er_t = er.reshape(B, T, TILE_N, H)
     blk = lambda w: pl.BlockSpec((1, 1, TILE_N, w), lambda b, t: (b, t, 0, 0),
                                  memory_space=pltpu.VMEM)
+    if bias is None:
+        bias = jnp.zeros((H * F,), jnp.float32)
+    operands = [aux.lidx, mask_t, er_t, g, bias.reshape(1, H * F)]
+    in_specs = [
+        blk(D), blk(D), blk(H),
+        pl.BlockSpec((1, 1, U, H * F + H), lambda b, t: (b, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H * F), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if res is not None:
+        operands.append(res.reshape(B, T, TILE_N, H * F))
+        in_specs.append(blk(H * F))
     out, alpha, pre = pl.pallas_call(
         functools.partial(_fwd_kernel, H=H, F=F, slope=slope,
-                          fast=_fast_precision()),
+                          fast=_fast_precision(), act=bool(act),
+                          with_res=res is not None),
         grid=(B, T),
-        in_specs=[
-            blk(D), blk(D), blk(H),
-            pl.BlockSpec((1, 1, U, H * F + H), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, TILE_N, H * F), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
@@ -347,29 +389,43 @@ def _fused_fwd_raw(z, el, er, aux: TiledAux, nbr_mask, slope):
             jax.ShapeDtypeStruct((B, N, D * H), jnp.bfloat16),
         ),
         interpret=_interpret(),
-    )(aux.lidx, mask_t, er_t, g)
+    )(*operands)
     return out.reshape(B, N, H, F), alpha, pre, g
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_gat_attention(z, el, er, aux: TiledAux, nbr_mask, negative_slope=0.2):
-    out, _, _, _ = _fused_fwd_raw(z, el, er, aux, nbr_mask, negative_slope)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_gat_attention(z, el, er, aux: TiledAux, nbr_mask, negative_slope=0.2,
+                        activation=None, res=None, bias=None):
+    """Fused attention; optionally also the layer epilogue in-kernel:
+    out = act(combine + res + bias), with act in (None, "elu") — the two
+    epilogues the reference GAT stack uses (`model/networks.py:60-66`).
+    res: [B, N, H*F] residual (already projected), bias: [H*F]."""
+    out, _, _, _ = _fused_fwd_raw(z, el, er, aux, nbr_mask, negative_slope,
+                                  res, bias, activation)
     return out
 
 
-def _fga_fwd(z, el, er, aux, nbr_mask, slope):
-    out, alpha, pre, g = _fused_fwd_raw(z, el, er, aux, nbr_mask, slope)
+def _fga_fwd(z, el, er, aux, nbr_mask, slope, act, res, bias):
+    out, alpha, pre, g = _fused_fwd_raw(z, el, er, aux, nbr_mask, slope,
+                                        res, bias, act)
     # zero-size dtype sentinels: cotangents must match primal dtypes, and
     # dtype objects are not valid residual leaves
-    sent = (jnp.zeros((0,), el.dtype), jnp.zeros((0,), er.dtype))
-    return out, (z.shape, sent, g, alpha, pre, aux, nbr_mask)
+    sent = (jnp.zeros((0,), el.dtype), jnp.zeros((0,), er.dtype),
+            None if res is None else jnp.zeros((0,), res.dtype),
+            None if bias is None else jnp.zeros((0,), bias.dtype))
+    y = out if act else None  # ELU backward needs only the OUTPUT: y>0?1:y+1
+    return out, (z.shape, sent, g, alpha, pre, aux, nbr_mask, y)
 
 
-def _fga_bwd(slope, res, gout):
-    (B, N, H, F), (el_s, er_s), g, alpha, pre, aux, nbr_mask = res
+def _fga_bwd(slope, act, resid, gout):
+    (B, N, H, F), (el_s, er_s, res_s, bias_s), g, alpha, pre, aux, \
+        nbr_mask, y = resid
     el_dt, er_dt = el_s.dtype, er_s.dtype
     T, U = aux.num_tiles, aux.unique_budget
     D = aux.lidx.shape[-1]
+    if act:  # d/ds elu(s) = 1 if s>0 else exp(s) = y + 1   (from the output)
+        one = jnp.ones((), gout.dtype)
+        gout = gout * jnp.where(y > 0, one, y + one)
     mask_t = nbr_mask.reshape(B, T, TILE_N, D)
     go_t = gout.reshape(B, T, TILE_N, H * F)
     alpha_t = alpha.reshape(B, T, TILE_N, D * H)
@@ -400,7 +456,14 @@ def _fga_bwd(slope, res, gout):
     # (d_pre routed to src nodes)
     d_z, d_el = _reverse_combine(gout.reshape(B, N, H, F), alpha, d_pre,
                                  aux, nbr_mask)
-    return d_z, d_el.astype(el_dt), d_er, None, None
+    d_res = None
+    if res_s is not None:
+        d_res = gout.reshape(B, N, H * F).astype(res_s.dtype)
+    d_bias = None
+    if bias_s is not None:
+        d_bias = jnp.sum(gout.reshape(B, N, H * F), axis=(0, 1)).astype(
+            bias_s.dtype)
+    return d_z, d_el.astype(el_dt), d_er, None, None, d_res, d_bias
 
 
 fused_gat_attention.defvjp(_fga_fwd, _fga_bwd)
