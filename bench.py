@@ -71,14 +71,17 @@ def time_steps(step, state, graph, n_steps, label=""):
     return (time.perf_counter() - t0) / n_steps
 
 
-def bench_gat(graph, device):
+def bench_gat(raw_graphs, device):
     """Secondary config: GAT (4 hidden x 256, 4 heads, residuals) step time."""
     from gnn_tumor_seg_tpu.config import HyperParams
     from gnn_tumor_seg_tpu.models.gat import GAT
+    from gnn_tumor_seg_tpu.ops.graph import batch_graphs
 
     gat_hp = HyperParams(layer_sizes=[256] * 4)
     model = GAT(gat_hp.in_feats, gat_hp.layer_sizes, gat_hp.out_classes,
                 heads=[4] * 4, residuals=[True] * 4)
+    graph = batch_graphs([g.with_tiled_aux(tile=model.preferred_tile)
+                          for g in raw_graphs])
     step, state, g_dev = build_step(model, gat_hp, graph, device)
     return time_steps(step, state, g_dev, n_steps=10, label="gat")
 
@@ -105,9 +108,12 @@ def main():
     batch = 6  # reference batch size (model/gnn_model.py:12)
     n_nodes, k = 7000, 10
     impl = os.environ.get("GTS_AGG_IMPL", "pallas")
-    graphs = [_synthetic_graph(n_nodes=n_nodes, k=k, seed=i) for i in range(batch)]
+    raw_graphs = [_synthetic_graph(n_nodes=n_nodes, k=k, seed=i)
+                  for i in range(batch)]
+    graphs = raw_graphs
     if impl == "pallas":
-        graphs = [g.with_tiled_aux() for g in graphs]
+        # per-model dst-tile preference (scripts/sweep_tiling.py)
+        graphs = [g.with_tiled_aux(tile=model.preferred_tile) for g in graphs]
     graph = batch_graphs(graphs)
     real_edges = batch * n_nodes * k  # per step, per layer
     edges_per_step = real_edges * model.num_layers
@@ -122,7 +128,7 @@ def main():
     t_gat = None
     if os.environ.get("GTS_BENCH_SKIP_GAT") != "1":
         try:
-            t_gat = bench_gat(graph, tpu)
+            t_gat = bench_gat(raw_graphs, tpu)
             log(f"[bench] gat step {t_gat*1e3:.2f} ms")
         except Exception as e:
             log(f"[bench] gat config failed: {e}")

@@ -174,6 +174,11 @@ class GAT:
         self.layer_sizes = list(layer_sizes)
         self.heads = list(heads)
         self.residuals = list(residuals)
+        # Pallas dst-tile size: the attention kernels are VPU-pass-bound per
+        # tile (softmax + histograms), so halving the tile doubles T and loses
+        # — measured 47.4 (64) vs 45.4 ms (128) at flagship scale
+        # (scripts/sweep_tiling.py methodology; table in BASELINE.md)
+        self.preferred_tile = 128
         self.n_classes = n_classes
         self.feat_drop = feat_drop
         self.attn_drop = attn_drop

@@ -125,6 +125,11 @@ class GraphSage:
         self.aggregator = aggregator
         self.dropout = float(dropout)
         self.dims = [in_feats, *layer_sizes, n_classes]
+        # Pallas dst-tile size: the aggregation kernels are MXU-bound on the
+        # one-hot dots (work ∝ N·U), so the smaller unique budget of 64-tiles
+        # beats their extra gather rows — measured 16.2 vs 17.9 ms/step at
+        # flagship scale (scripts/sweep_tiling.py, table in BASELINE.md)
+        self.preferred_tile = 64
 
     @property
     def num_layers(self) -> int:

@@ -106,14 +106,20 @@ class GraphBatch:
     def replace(self, **kw) -> "GraphBatch":
         return dataclasses.replace(self, **kw)
 
-    def with_tiled_aux(self, u_align: int = 16) -> "GraphBatch":
-        """Host-side: attach the tile-compaction tables used by impl='pallas'."""
+    def with_tiled_aux(self, u_align: int = 16,
+                       tile: int | None = None) -> "GraphBatch":
+        """Host-side: attach the tile-compaction tables used by impl='pallas'.
+
+        tile: dst-tile size (default ops/pallas/tiling.TILE_N); the kernels
+        read it back from the tables, so any 8-multiple that divides N works —
+        see scripts/sweep_tiling.py for the measured TILE_N x u_align surface.
+        """
         if self.tiled is not None:
             return self
-        from .pallas.tiling import build_tiled_aux
+        from .pallas.tiling import TILE_N, build_tiled_aux
 
         aux = build_tiled_aux(np.asarray(self.nbr), np.asarray(self.nbr_mask),
-                              u_align=u_align)
+                              tile=tile or TILE_N, u_align=u_align)
         return self.replace(tiled=aux)
 
 

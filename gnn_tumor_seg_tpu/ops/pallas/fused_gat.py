@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tiling import TILE_N, TiledAux, gather_unique_rows
+from .tiling import TiledAux, gather_unique_rows
 
 __all__ = ["fused_gat_attention"]
 
@@ -312,7 +312,7 @@ def _reverse_combine(gout, alpha, d_pre, aux: TiledAux, nbr_mask):
     """gout [B,N,H,F], alpha/d_pre [B,N,D*H] (slot-major) ->
     (d_z [B,N,H,F], d_el [B,N,H]) via one packed gather + one kernel."""
     B, N, H, F = gout.shape
-    T, U = aux.num_tiles, aux.unique_budget
+    T, U, TN = aux.num_tiles, aux.unique_budget, aux.tile_n
     D = aux.lidx.shape[-1]
     fast = _fast_precision()
     packed = jnp.concatenate([gout.reshape(B, N, H * F), alpha, d_pre], axis=-1)
@@ -320,9 +320,9 @@ def _reverse_combine(gout, alpha, d_pre, aux: TiledAux, nbr_mask):
         packed = packed.astype(jnp.bfloat16)
     W = packed.shape[-1]
     gp = gather_unique_rows(packed, aux.uniq)           # [B, T, U, W]
-    mask_t = nbr_mask.reshape(B, T, TILE_N, D)
-    rslot_t = aux.rslot.reshape(B, T, TILE_N, D)
-    blk = lambda w: pl.BlockSpec((1, 1, TILE_N, w), lambda b, t: (b, t, 0, 0),
+    mask_t = nbr_mask.reshape(B, T, TN, D)
+    rslot_t = aux.rslot.reshape(B, T, TN, D)
+    blk = lambda w: pl.BlockSpec((1, 1, TN, w), lambda b, t: (b, t, 0, 0),
                                  memory_space=pltpu.VMEM)
     d_z, d_el = pl.pallas_call(
         functools.partial(_bwd2_kernel, H=H, F=F, fast=fast),
@@ -333,9 +333,9 @@ def _reverse_combine(gout, alpha, d_pre, aux: TiledAux, nbr_mask):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, TILE_N, H * F), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TN, H * F), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N, H), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TN, H), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -349,12 +349,12 @@ def _reverse_combine(gout, alpha, d_pre, aux: TiledAux, nbr_mask):
 
 def _fused_fwd_raw(z, el, er, aux: TiledAux, nbr_mask, slope, res, bias, act):
     B, N, H, F = z.shape
-    T, U = aux.num_tiles, aux.unique_budget
+    T, U, TN = aux.num_tiles, aux.unique_budget, aux.tile_n
     D = aux.lidx.shape[-1]
     g = _gather_packed(z, el, aux)
-    mask_t = nbr_mask.reshape(B, T, TILE_N, D)
-    er_t = er.reshape(B, T, TILE_N, H)
-    blk = lambda w: pl.BlockSpec((1, 1, TILE_N, w), lambda b, t: (b, t, 0, 0),
+    mask_t = nbr_mask.reshape(B, T, TN, D)
+    er_t = er.reshape(B, T, TN, H)
+    blk = lambda w: pl.BlockSpec((1, 1, TN, w), lambda b, t: (b, t, 0, 0),
                                  memory_space=pltpu.VMEM)
     if bias is None:
         bias = jnp.zeros((H * F,), jnp.float32)
@@ -367,7 +367,7 @@ def _fused_fwd_raw(z, el, er, aux: TiledAux, nbr_mask, slope, res, bias, act):
                      memory_space=pltpu.VMEM),
     ]
     if res is not None:
-        operands.append(res.reshape(B, T, TILE_N, H * F))
+        operands.append(res.reshape(B, T, TN, H * F))
         in_specs.append(blk(H * F))
     out, alpha, pre = pl.pallas_call(
         functools.partial(_fwd_kernel, H=H, F=F, slope=slope,
@@ -376,11 +376,11 @@ def _fused_fwd_raw(z, el, er, aux: TiledAux, nbr_mask, slope, res, bias, act):
         grid=(B, T),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, TILE_N, H * F), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TN, H * F), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N, D * H), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TN, D * H), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N, D * H), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TN, D * H), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -421,16 +421,16 @@ def _fga_bwd(slope, act, resid, gout):
     (B, N, H, F), (el_s, er_s, res_s, bias_s), g, alpha, pre, aux, \
         nbr_mask, y = resid
     el_dt, er_dt = el_s.dtype, er_s.dtype
-    T, U = aux.num_tiles, aux.unique_budget
+    T, U, TN = aux.num_tiles, aux.unique_budget, aux.tile_n
     D = aux.lidx.shape[-1]
     if act:  # d/ds elu(s) = 1 if s>0 else exp(s) = y + 1   (from the output)
         one = jnp.ones((), gout.dtype)
         gout = gout * jnp.where(y > 0, one, y + one)
-    mask_t = nbr_mask.reshape(B, T, TILE_N, D)
-    go_t = gout.reshape(B, T, TILE_N, H * F)
-    alpha_t = alpha.reshape(B, T, TILE_N, D * H)
-    pre_t = pre.reshape(B, T, TILE_N, D * H)
-    blk = lambda w, dt=None: pl.BlockSpec((1, 1, TILE_N, w),
+    mask_t = nbr_mask.reshape(B, T, TN, D)
+    go_t = gout.reshape(B, T, TN, H * F)
+    alpha_t = alpha.reshape(B, T, TN, D * H)
+    pre_t = pre.reshape(B, T, TN, D * H)
+    blk = lambda w, dt=None: pl.BlockSpec((1, 1, TN, w),
                                           lambda b, t: (b, t, 0, 0),
                                           memory_space=pltpu.VMEM)
     packed = pl.pallas_call(
@@ -443,7 +443,7 @@ def _fga_bwd(slope, act, resid, gout):
                          memory_space=pltpu.VMEM),
             blk(D * H), blk(D * H), blk(H * F),
         ],
-        out_specs=pl.BlockSpec((1, TILE_N, (D + 1) * H), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, TN, (D + 1) * H), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, (D + 1) * H), jnp.float32),
         interpret=_interpret(),

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tiling import TILE_N, TiledAux, gather_unique_rows
+from .tiling import TiledAux, gather_unique_rows
 
 __all__ = ["tiled_aggregate", "tiled_aggregate_max_fwd", "tiled_max_backward"]
 
@@ -101,25 +101,25 @@ def tiled_aggregate(h, aux: TiledAux, nbr_mask, op: str):
     """
     assert op in ("sum", "mean")
     B, N, F = h.shape
-    T, U = aux.num_tiles, aux.unique_budget
+    T, U, TN = aux.num_tiles, aux.unique_budget, aux.tile_n
     D = aux.lidx.shape[-1]
     fast = _fast_precision() or h.dtype == jnp.bfloat16
     g = _gather_unique(h, aux.uniq)                   # [B, T, U, F]
-    mask_t = nbr_mask.reshape(B, T, TILE_N, D)
+    mask_t = nbr_mask.reshape(B, T, TN, D)
 
     kernel = functools.partial(_sum_kernel, mean=(op == "mean"), fast=fast)
     out = pl.pallas_call(
         kernel,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, TN, D), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, TN, D), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, U, F), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_N, F), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, TN, F), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, F), h.dtype),
         interpret=_interpret(),
@@ -166,26 +166,26 @@ def _max_kernel(lidx_ref, mask_ref, g_ref, out_ref, arg_ref, *, fast):
 def tiled_aggregate_max_fwd(h, aux: TiledAux, nbr_mask):
     """max aggregation -> (out [B,N,F] f32, arg_slot bf16 [B,N,F])."""
     B, N, F = h.shape
-    T, U = aux.num_tiles, aux.unique_budget
+    T, U, TN = aux.num_tiles, aux.unique_budget, aux.tile_n
     D = aux.lidx.shape[-1]
     fast = _fast_precision() or h.dtype == jnp.bfloat16
     g = _gather_unique(h, aux.uniq)
-    mask_t = nbr_mask.reshape(B, T, TILE_N, D)
+    mask_t = nbr_mask.reshape(B, T, TN, D)
     out, arg = pl.pallas_call(
         functools.partial(_max_kernel, fast=fast),
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, TN, D), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, TN, D), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, U, F), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, TILE_N, F), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TN, F), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N, F), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TN, F), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -241,7 +241,7 @@ def tiled_max_backward(gout, arg, aux: TiledAux, nbr_mask):
     gout [B, N, F] f32, arg bf16 winner slots from tiled_aggregate_max_fwd.
     """
     B, N, F = gout.shape
-    T, U = aux.num_tiles, aux.unique_budget
+    T, U, TN = aux.num_tiles, aux.unique_budget, aux.tile_n
     D = aux.lidx.shape[-1]
     fast = _fast_precision()
     if fast:
@@ -251,9 +251,9 @@ def tiled_max_backward(gout, arg, aux: TiledAux, nbr_mask):
         packed = jnp.concatenate([hi, lo, arg], axis=-1)
     W = packed.shape[-1]
     gp = _gather_unique(packed, aux.uniq)             # [B, T, U, W] bf16
-    mask_t = nbr_mask.reshape(B, T, TILE_N, D)
-    rslot_t = aux.rslot.reshape(B, T, TILE_N, D)
-    blk = lambda w: pl.BlockSpec((1, 1, TILE_N, w), lambda b, t: (b, t, 0, 0),
+    mask_t = nbr_mask.reshape(B, T, TN, D)
+    rslot_t = aux.rslot.reshape(B, T, TN, D)
+    blk = lambda w: pl.BlockSpec((1, 1, TN, w), lambda b, t: (b, t, 0, 0),
                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_max_bwd_kernel, F=F, fast=fast),
@@ -263,7 +263,7 @@ def tiled_max_backward(gout, arg, aux: TiledAux, nbr_mask):
             pl.BlockSpec((1, 1, U, W), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_N, F), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, TN, F), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, F), gout.dtype),
         interpret=_interpret(),

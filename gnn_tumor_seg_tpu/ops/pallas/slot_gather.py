@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tiling import TILE_N, TiledAux, gather_unique_rows
+from .tiling import TiledAux, gather_unique_rows
 
 __all__ = ["slot_gather"]
 
@@ -85,22 +85,22 @@ def _slot_gather_raw(x, aux: TiledAux, nbr_mask):
     import functools
 
     B, N, W = x.shape
-    T, U = aux.num_tiles, aux.unique_budget
+    T, U, TN = aux.num_tiles, aux.unique_budget, aux.tile_n
     D = aux.lidx.shape[-1]
     g = _gather_unique(x, aux.uniq)
-    mask_t = nbr_mask.reshape(B, T, TILE_N, D)
+    mask_t = nbr_mask.reshape(B, T, TN, D)
     out = pl.pallas_call(
         functools.partial(_slot_gather_kernel, W=W, fast=_fast_precision()),
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, TN, D), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, TN, D), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, U, W), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_N, D * W), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, TN, D * W), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, D * W), x.dtype),
         interpret=_interpret(),

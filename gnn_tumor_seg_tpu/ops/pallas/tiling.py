@@ -60,6 +60,10 @@ class TiledAux:
         return self.uniq.shape[1]
 
     @property
+    def tile_n(self) -> int:
+        return self.lidx.shape[2]
+
+    @property
     def unique_budget(self) -> int:
         return self.uniq.shape[2]
 

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .slot_gather import slot_gather
-from .tiling import TILE_N, TiledAux, gather_unique_rows
+from .tiling import TiledAux, gather_unique_rows
 
 __all__ = ["tiled_weighted_sum"]
 
@@ -113,27 +113,27 @@ def _wsum_kernel(lidx_ref, mask_ref, w_ref, g_ref, out_ref, *, H, F, fast):
 
 def _wsum_raw(values, weights, aux: TiledAux, nbr_mask, g=None):
     B, N, H, F = values.shape
-    T, U = aux.num_tiles, aux.unique_budget
+    T, U, TN = aux.num_tiles, aux.unique_budget, aux.tile_n
     D = aux.lidx.shape[-1]
     if g is None:
         g = _gather_values(values, aux)                # [B,T,U,H*F]
-    mask_t = nbr_mask.reshape(B, T, TILE_N, D)
-    w_t = weights.reshape(B, T, TILE_N, D * H)
+    mask_t = nbr_mask.reshape(B, T, TN, D)
+    w_t = weights.reshape(B, T, TN, D * H)
     kernel = functools.partial(_wsum_kernel, H=H, F=F, fast=_fast_precision())
     out = pl.pallas_call(
         kernel,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, TN, D), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, TN, D), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_N, D * H), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, TN, D * H), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, U, H * F), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_N, H * F), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, TN, H * F), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, H * F), values.dtype),
         interpret=_interpret(),
@@ -173,26 +173,26 @@ def _pairdot_kernel(lidx_ref, mask_ref, gout_ref, g_ref, out_ref, *, H, F,
 def _pairdot(gout, values_shape, g, aux: TiledAux, nbr_mask, out_dtype):
     """g: the forward's gathered values block (residual — no re-gather)."""
     B, N, H, F = values_shape
-    T, U = aux.num_tiles, aux.unique_budget
+    T, U, TN = aux.num_tiles, aux.unique_budget, aux.tile_n
     D = aux.lidx.shape[-1]
-    mask_t = nbr_mask.reshape(B, T, TILE_N, D)
-    go_t = gout.reshape(B, T, TILE_N, H * F)
+    mask_t = nbr_mask.reshape(B, T, TN, D)
+    go_t = gout.reshape(B, T, TN, H * F)
     kernel = functools.partial(_pairdot_kernel, H=H, F=F,
                                fast=_fast_precision())
     return pl.pallas_call(
         kernel,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, TN, D), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_N, D), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, TN, D), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_N, H * F), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, TN, H * F), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, U, H * F), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_N, D * H), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, TN, D * H), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, D * H), out_dtype),
         interpret=_interpret(),

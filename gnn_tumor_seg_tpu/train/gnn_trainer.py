@@ -145,7 +145,8 @@ class GNNTrainer:
             return g
         g = self._graph_cache.get(i)
         if g is None:
-            g = self.train_data.get_graph(i).with_tiled_aux()
+            g = self.train_data.get_graph(i).with_tiled_aux(
+                tile=getattr(self.model, "preferred_tile", None))
             self._graph_cache.put(i, g)
             if i not in self._edge_counts:
                 # host-side count: a device-side sum here would synchronize
