@@ -196,11 +196,21 @@ def graph_from_arrays(
     n_pad: int | None = None,
     d_pad: int | None = None,
     edge_weights: np.ndarray | None = None,
+    tiled: bool = False,
+    tile: int | None = None,
+    u_align: int = 16,
 ) -> GraphBatch:
     """Host-side: build a B=1 GraphBatch from numpy node features + COO edges.
 
     edge_weights (optional, one float per COO edge) lands on the slotted
-    GraphBatch.edge_weight table."""
+    GraphBatch.edge_weight table.
+
+    tiled=True builds the Pallas tile-compaction tables from the HOST arrays
+    before anything is transferred — the per-sample loading path must never
+    read device arrays back (with_tiled_aux on a device graph costs a D2H
+    round-trip per sample, which stalls the dispatch pipeline and is
+    pathologically slow through remote-attached chips: first-call D2H
+    measured 8-270 s on this relay)."""
     n_nodes, f_dim = feats.shape
     w_tab = None
     if edge_weights is not None:
@@ -208,6 +218,12 @@ def graph_from_arrays(
                                           d_pad=d_pad, edge_vals=edge_weights)
     else:
         nbr, mask = ell_from_edges(n_nodes, src, dst, n_pad=n_pad, d_pad=d_pad)
+    aux = None
+    if tiled:
+        from .pallas.tiling import TILE_N, build_tiled_aux
+
+        aux = build_tiled_aux(nbr[None], mask[None], tile=tile or TILE_N,
+                              u_align=u_align)
     n_pad = nbr.shape[0]
     feats_p = np.zeros((n_pad, f_dim), dtype=np.float32)
     feats_p[:n_nodes] = feats
@@ -226,6 +242,7 @@ def graph_from_arrays(
         labels=labels_p,
         n_nodes=jnp.asarray([n_nodes], dtype=np.int32),
         edge_weight=None if w_tab is None else jnp.asarray(w_tab)[None],
+        tiled=aux,
     )
 
 

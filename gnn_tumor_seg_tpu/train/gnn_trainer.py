@@ -145,8 +145,24 @@ class GNNTrainer:
             return g
         g = self._graph_cache.get(i)
         if g is None:
-            g = self.train_data.get_graph(i).with_tiled_aux(
-                tile=getattr(self.model, "preferred_tile", None))
+            tile = getattr(self.model, "preferred_tile", None)
+            if hasattr(self.train_data, "get_sample"):
+                # host-side path: pad + build the tiling tables from the raw
+                # numpy sample BEFORE device transfer. Going through
+                # get_graph().with_tiled_aux() instead reads the device nbr
+                # tables back — one D2H sync per sample, measured 8-270 s on
+                # the first call through remote-attached chips
+                from ..ops.graph import graph_from_arrays
+
+                s = self.train_data.get_sample(i)
+                n_pad, d_pad = self._shape_budget
+                g = graph_from_arrays(
+                    s.feats, s.src, s.dst, labels=s.labels,
+                    n_pad=n_pad, d_pad=d_pad, edge_weights=s.edge_weights,
+                    tiled=True, tile=tile)
+                self._edge_counts.setdefault(i, len(s.src))
+            else:
+                g = self.train_data.get_graph(i).with_tiled_aux(tile=tile)
             self._graph_cache.put(i, g)
             if i not in self._edge_counts:
                 # host-side count: a device-side sum here would synchronize

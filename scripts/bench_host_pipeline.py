@@ -91,17 +91,19 @@ def measure(root: str, epochs: int, batch_size: int) -> None:
     for _ in range(5):
         s = load_graph_npz(fp)
     t_load = (time.perf_counter() - t0) / 5
-    from gnn_tumor_seg_tpu.ops.graph import graph_from_arrays
+    from gnn_tumor_seg_tpu.ops.graph import ell_from_edges
+    from gnn_tumor_seg_tpu.ops.pallas.tiling import build_tiled_aux
 
     n_pad, d_pad = data.shape_budget()
     t0 = time.perf_counter()
     for _ in range(5):
-        g = graph_from_arrays(s.feats, s.src, s.dst, labels=s.labels,
-                              n_pad=n_pad, d_pad=d_pad)
+        nbr, mask = ell_from_edges(s.feats.shape[0], s.src, s.dst,
+                                   n_pad=n_pad, d_pad=d_pad)
     t_pad = (time.perf_counter() - t0) / 5
+    # host-side aux build (the trainer path; never reads device arrays back)
     t0 = time.perf_counter()
     for _ in range(5):
-        g.replace(tiled=None).with_tiled_aux()
+        build_tiled_aux(nbr[None], mask[None], tile=64)
     t_aux = (time.perf_counter() - t0) / 5
     log(f"[measure] per-sample host stages: npz load {t_load*1e3:.1f} ms, "
         f"ELL pad {t_pad*1e3:.1f} ms, tiling aux {t_aux*1e3:.1f} ms")
