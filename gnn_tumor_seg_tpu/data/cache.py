@@ -6,10 +6,12 @@ sample once to padded GraphBatch arrays and caches them. Unbounded, that cache
 is multiple GB of host RAM at BraTS-2021 scale (1,251 brains x ~1.5 MB padded
 arrays, ~2.3 MB more with Pallas tiling aux attached) — so both caches
 (ImageGraphDataset and GNNTrainer's tiled-aux cache) are LRU with a byte
-budget. Default budget: GTS_GRAPH_CACHE_MB env (MB), else 2048 MB, split
-per cache instance — enough to hold ~500 tiled full-scale graphs; beyond that
-the oldest entries are rebuilt on demand (cheap: a disk read + repad, not a
-JSON parse).
+budget. Default budget: GTS_GRAPH_CACHE_MB env (MB), else 4096 MB per cache
+instance — the trainer's cache holds HOST (numpy) graphs, so the budget costs
+RAM, not HBM, and 4 GB covers the full 1,251-brain BraTS-2021 set (~3.0 GB
+measured by scripts/bench_host_pipeline.py; a 2 GB budget left 27% of samples
+rebuilding every epoch). Beyond budget the oldest entries are rebuilt on
+demand (a disk read + repad + aux build, ~15 ms — not a JSON parse).
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ __all__ = ["LRUBytesCache", "pytree_nbytes", "default_cache_bytes"]
 
 
 def default_cache_bytes() -> int:
-    return int(float(os.environ.get("GTS_GRAPH_CACHE_MB", "2048")) * 2**20)
+    return int(float(os.environ.get("GTS_GRAPH_CACHE_MB", "4096")) * 2**20)
 
 
 def pytree_nbytes(tree) -> int:

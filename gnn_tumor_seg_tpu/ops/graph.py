@@ -199,6 +199,7 @@ def graph_from_arrays(
     tiled: bool = False,
     tile: int | None = None,
     u_align: int = 16,
+    as_numpy: bool = False,
 ) -> GraphBatch:
     """Host-side: build a B=1 GraphBatch from numpy node features + COO edges.
 
@@ -210,7 +211,11 @@ def graph_from_arrays(
     read device arrays back (with_tiled_aux on a device graph costs a D2H
     round-trip per sample, which stalls the dispatch pipeline and is
     pathologically slow through remote-attached chips: first-call D2H
-    measured 8-270 s on this relay)."""
+    measured 8-270 s on this relay).
+
+    as_numpy=True returns host (numpy) leaves throughout: the trainer caches
+    per-sample graphs host-side and ships ONE assembled batch per step to the
+    device (fewer, larger H2D; dataset size bounded by host RAM, not HBM)."""
     n_nodes, f_dim = feats.shape
     w_tab = None
     if edge_weights is not None:
@@ -223,7 +228,7 @@ def graph_from_arrays(
         from .pallas.tiling import TILE_N, build_tiled_aux
 
         aux = build_tiled_aux(nbr[None], mask[None], tile=tile or TILE_N,
-                              u_align=u_align)
+                              u_align=u_align, as_numpy=as_numpy)
     n_pad = nbr.shape[0]
     feats_p = np.zeros((n_pad, f_dim), dtype=np.float32)
     feats_p[:n_nodes] = feats
@@ -233,15 +238,15 @@ def graph_from_arrays(
     if labels is not None:
         labels_p = np.full((n_pad,), -1, dtype=np.int32)
         labels_p[:n_nodes] = labels
-        labels_p = jnp.asarray(labels_p)[None]
+    conv = (lambda x: x) if as_numpy else jnp.asarray
     return GraphBatch(
-        nbr=jnp.asarray(nbr)[None],
-        nbr_mask=jnp.asarray(mask)[None],
-        node_mask=jnp.asarray(node_mask)[None],
-        feats=jnp.asarray(feats_p)[None],
-        labels=labels_p,
-        n_nodes=jnp.asarray([n_nodes], dtype=np.int32),
-        edge_weight=None if w_tab is None else jnp.asarray(w_tab)[None],
+        nbr=conv(nbr)[None],
+        nbr_mask=conv(mask)[None],
+        node_mask=conv(node_mask)[None],
+        feats=conv(feats_p)[None],
+        labels=None if labels_p is None else conv(labels_p)[None],
+        n_nodes=conv(np.asarray([n_nodes], dtype=np.int32)),
+        edge_weight=None if w_tab is None else conv(w_tab)[None],
         tiled=aux,
     )
 
@@ -269,11 +274,16 @@ def batch_graphs(
     has_labels = graphs[0].labels is not None
 
     # fast path: every graph already sits at the target buckets (the common
-    # case in training, where the dataset pins a shape budget) -> concatenate
-    # on-device, no host round-trip per step
+    # case in training, where the dataset pins a shape budget). Device-array
+    # inputs concatenate on-device (no host round-trip per step); all-numpy
+    # inputs (host-resident graph caches) assemble host-side so the jitted
+    # step does ONE H2D per leaf — async dispatch overlaps it with the
+    # previous step's compute
     if all(g.num_nodes_padded == n_pad and g.max_degree == d_pad
            for g in graphs):
-        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        host = all(isinstance(g.nbr, np.ndarray) for g in graphs)
+        xp = np if host else jnp
+        cat = lambda xs: xp.concatenate(xs, axis=0)
         tiled = None
         if all(g.tiled is not None for g in graphs):
             from .pallas.tiling import TiledAux
@@ -283,8 +293,8 @@ def batch_graphs(
             u_max = max(g.tiled.unique_budget for g in graphs)
             if u_pad is not None:
                 u_max = max(u_max, u_pad)
-            pad_u = lambda x: jnp.pad(x, ((0, 0), (0, 0),
-                                          (0, u_max - x.shape[2])))
+            pad_u = lambda x: xp.pad(x, ((0, 0), (0, 0),
+                                         (0, u_max - x.shape[2])))
             tiled = TiledAux(
                 uniq=cat([pad_u(g.tiled.uniq) for g in graphs]),
                 lidx=cat([g.tiled.lidx for g in graphs]),

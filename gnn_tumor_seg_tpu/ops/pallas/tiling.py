@@ -69,47 +69,80 @@ class TiledAux:
 
 
 def build_tiled_aux(nbr: np.ndarray, nbr_mask: np.ndarray,
-                    tile: int = TILE_N, u_align: int = 16) -> TiledAux:
+                    tile: int = TILE_N, u_align: int = 16,
+                    as_numpy: bool = False) -> TiledAux:
     """nbr [B, N, D] int32, nbr_mask [B, N, D]. N must be a multiple of `tile`
-    (guaranteed by the node buckets)."""
+    (guaranteed by the node buckets).
+
+    Vectorized over tiles: one sort per (b,) instead of a Python np.unique per
+    tile (this runs once per sample in the trainer's loading path — 26 ms ->
+    ~8 ms per flagship graph, and first-epoch host time at BraTS-2021 scale
+    is aux-build-bound).
+
+    as_numpy=True keeps the tables host-side (for host-resident graph caches
+    that transfer once per assembled batch instead of once per sample)."""
     nbr = np.asarray(nbr)
     mask = np.asarray(nbr_mask) > 0
     B, N, D = nbr.shape
     assert N % tile == 0, (N, tile)
     T = N // tile
+    L = tile * D
+    SENT = np.int64(N + 1)  # > any real id; marks masked slots
 
-    uniq_lists = []
-    max_u = 1
-    for b in range(B):
-        per_tile = []
-        for t in range(T):
-            ids = nbr[b, t * tile:(t + 1) * tile]
-            m = mask[b, t * tile:(t + 1) * tile]
-            vals = np.unique(ids[m]) if m.any() else np.zeros(1, nbr.dtype)
-            per_tile.append(vals)
-            max_u = max(max_u, len(vals))
-        uniq_lists.append(per_tile)
+    # per-tile sorted ids with masked slots pushed to the end
+    ids_t = nbr.reshape(B, T, L).astype(np.int64)
+    ids_t = np.where(mask.reshape(B, T, L), ids_t, SENT)
+    ids_s = np.sort(ids_t, axis=2)                       # [B, T, L]
+    first = np.empty((B, T, L), bool)                    # first occurrence
+    first[:, :, 0] = ids_s[:, :, 0] != SENT
+    first[:, :, 1:] = (ids_s[:, :, 1:] != ids_s[:, :, :-1]) & \
+        (ids_s[:, :, 1:] != SENT)
+    counts = first.sum(axis=2)                           # uniques per tile
+    max_u = max(1, int(counts.max()))
     U = -(-max_u // u_align) * u_align
 
-    uniq = np.zeros((B, T, U), np.int32)
-    lidx = np.zeros((B, T, tile, D), np.int32)
+    # scatter the first occurrences into the padded [B, T, U] table; padded
+    # slots hold a sort-order-preserving sentinel during the searchsorted
+    # phase and are zeroed afterwards (no lidx slot references them)
+    pos = np.cumsum(first, axis=2) - 1                   # position within tile
+    uniq = np.full((B, T, U), SENT, np.int64)
+    bb, tt, _ = np.nonzero(first)
+    uniq[bb, tt, pos[first]] = ids_s[first]
+
+    # lidx via ONE searchsorted per batch over the tile-offset id space:
+    # row t of uniq spans [t*K, (t+1)*K) after adding t*K, so the flattened
+    # table stays globally sorted (K > SENT >= any id + 1)
+    K = int(SENT) + 1
+    off = (np.arange(T, dtype=np.int64) * K)[None, :, None]
+    flat_uniq = (uniq + off).reshape(B, T * U)
+    flat_ids = (nbr.reshape(B, T, L).astype(np.int64) + off).reshape(B, T * L)
+    lidx = np.empty((B, T, tile, D), np.int32)
     for b in range(B):
-        for t in range(T):
-            vals = uniq_lists[b][t]
-            uniq[b, t, :len(vals)] = vals
-            ids = nbr[b, t * tile:(t + 1) * tile]
-            pos = np.searchsorted(vals, ids)
-            pos = np.clip(pos, 0, len(vals) - 1)
-            # masked slots keep 0; correctness comes from nbr_mask
-            lidx[b, t] = np.where(mask[b, t * tile:(t + 1) * tile], pos, 0)
+        p = np.searchsorted(flat_uniq[b], flat_ids[b])
+        lidx[b] = (p - (p // U) * U).reshape(T, tile, D)
+    lidx = np.where(mask.reshape(B, T, tile, D), lidx, 0)
+    uniq = np.where(uniq == SENT, 0, uniq).astype(np.int32)
 
     # reciprocal slot: for edge at (u, d) with v = nbr[u, d], where does u sit
-    # in v's neighbor list (symmetric tables guarantee it exists)
+    # in v's neighbor list (symmetric + deduped tables guarantee exactly one
+    # slot). Sort each neighbor row once (masked slots pushed last so a pad 0
+    # can never shadow a real id-0 neighbor), then resolve all N*D lookups
+    # with ONE searchsorted over the row-offset id space — replaces the
+    # [N, D, D] all-pairs compare+argmax (18 -> ~4 ms per flagship graph)
     rslot = np.zeros((B, N, D), np.int32)
+    u_ids = np.arange(N, dtype=np.int64)[:, None]       # [N, 1]
     for b in range(B):
-        rows = nbr[b][nbr[b]]                       # [N, D, D]: nbr[v_ud]
-        hit = rows == np.arange(N, dtype=nbr.dtype)[:, None, None]
-        rslot[b] = np.where(mask[b], hit.argmax(-1), 0).astype(np.int32)
+        ids = np.where(mask[b], nbr[b].astype(np.int64), SENT)
+        order = np.argsort(ids, axis=1, kind="stable").astype(np.int32)
+        snbr = np.take_along_axis(ids, order, axis=1)   # [N, D] rows sorted
+        flat = (snbr + u_ids * K).reshape(-1)           # globally sorted
+        q = nbr[b].astype(np.int64) * K + u_ids         # find u in row v
+        p = np.minimum(np.searchsorted(flat, q.reshape(-1)), N * D - 1)
+        j_sorted = np.minimum(p - (p // D) * D, D - 1).reshape(N, D)
+        j = order[nbr[b], j_sorted]                     # slot in DEST row v
+        rslot[b] = np.where(mask[b], j, 0).astype(np.int32)
 
+    if as_numpy:
+        return TiledAux(uniq=uniq, lidx=lidx, rslot=rslot)
     return TiledAux(uniq=jnp.asarray(uniq), lidx=jnp.asarray(lidx),
                     rslot=jnp.asarray(rslot))

@@ -36,12 +36,14 @@ __all__ = ["GNNTrainer"]
 
 
 def _masked_copy(g: GraphBatch) -> GraphBatch:
-    """A padding graph contributing nothing to the loss."""
+    """A padding graph contributing nothing to the loss. Host (numpy) graphs
+    stay host-side so the batch keeps its one-H2D-per-step assembly."""
+    xp = np if isinstance(g.node_mask, np.ndarray) else jnp
     return g.replace(
-        node_mask=jnp.zeros_like(g.node_mask),
-        nbr_mask=jnp.zeros_like(g.nbr_mask),
-        labels=None if g.labels is None else jnp.full_like(g.labels, -1),
-        n_nodes=jnp.zeros_like(g.n_nodes),
+        node_mask=xp.zeros_like(g.node_mask),
+        nbr_mask=xp.zeros_like(g.nbr_mask),
+        labels=None if g.labels is None else xp.full_like(g.labels, -1),
+        n_nodes=xp.zeros_like(g.n_nodes),
     )
 
 
@@ -156,10 +158,13 @@ class GNNTrainer:
 
                 s = self.train_data.get_sample(i)
                 n_pad, d_pad = self._shape_budget
+                # host (numpy) leaves: the cache stays in host RAM (dataset
+                # size is not HBM-bounded) and each STEP ships one assembled
+                # batch, overlapped with the previous step by async dispatch
                 g = graph_from_arrays(
                     s.feats, s.src, s.dst, labels=s.labels,
                     n_pad=n_pad, d_pad=d_pad, edge_weights=s.edge_weights,
-                    tiled=True, tile=tile)
+                    tiled=True, tile=tile, as_numpy=True)
                 self._edge_counts.setdefault(i, len(s.src))
             else:
                 g = self.train_data.get_graph(i).with_tiled_aux(tile=tile)

@@ -100,10 +100,10 @@ def measure(root: str, epochs: int, batch_size: int) -> None:
         nbr, mask = ell_from_edges(s.feats.shape[0], s.src, s.dst,
                                    n_pad=n_pad, d_pad=d_pad)
     t_pad = (time.perf_counter() - t0) / 5
-    # host-side aux build (the trainer path; never reads device arrays back)
+    # host-side aux build (the trainer path; never touches the device)
     t0 = time.perf_counter()
     for _ in range(5):
-        build_tiled_aux(nbr[None], mask[None], tile=64)
+        build_tiled_aux(nbr[None], mask[None], tile=64, as_numpy=True)
     t_aux = (time.perf_counter() - t0) / 5
     log(f"[measure] per-sample host stages: npz load {t_load*1e3:.1f} ms, "
         f"ELL pad {t_pad*1e3:.1f} ms, tiling aux {t_aux*1e3:.1f} ms")
@@ -151,7 +151,7 @@ def measure(root: str, epochs: int, batch_size: int) -> None:
                          "tiling_aux": round(t_aux * 1e3, 1)},
             "epochs": ep_rows,
             "cache_budget_mb": int(os.environ.get("GTS_GRAPH_CACHE_MB",
-                                                  "2048")),
+                                                  "4096")),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -100,6 +100,56 @@ def test_training_loss_decreases(model_type):
     assert last < first, (first, last)
 
 
+def test_trainer_graph_cache_host_resident(tmp_path):
+    """The per-sample loading path must never hold device arrays (nor read
+    any back): graphs are cached as numpy and ship once per assembled batch.
+    Guards the D2H-per-sample regression measured at 8-270 s/first-call
+    through remote-attached chips (scripts/bench_host_pipeline.py)."""
+    import jax
+
+    from gnn_tumor_seg_tpu.data.dataset import ImageGraphDataset
+    from gnn_tumor_seg_tpu.data.graph_build import GraphSample
+    from gnn_tumor_seg_tpu.data.store import save_graph_npz
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        n = 60 + i
+        base = np.arange(n)
+        src = np.concatenate([(base + 1) % n, base]).astype(np.int32)
+        dst = np.concatenate([base, (base + 1) % n]).astype(np.int32)
+        s = GraphSample(feats=rng.normal(size=(n, 20)).astype(np.float32),
+                        labels=rng.integers(0, 4, n).astype(np.int32),
+                        centroids=np.zeros((n, 3), np.float32),
+                        src=src, dst=dst, sv_partition=None, edge_weights=None)
+        save_graph_npz(str(tmp_path / f"S{i}" / f"S{i}_graph.npz"), s)
+    data = ImageGraphDataset(str(tmp_path), read_image=False)
+    trainer = GNNTrainer("GSpool", small_hp(batch_size=2), data, seed=0,
+                         impl="pallas")
+    first = trainer.run_epoch()
+    last = trainer.run_epoch()
+    assert np.isfinite([first, last]).all()
+    assert len(trainer._graph_cache) == 4
+    for g in trainer._graph_cache._data.values():
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert isinstance(leaf, np.ndarray), type(leaf)
+
+
+def test_trainer_cache_eviction_bound(tmp_path):
+    """A cache budget far below the dataset size degrades to rebuild-per-fetch
+    (bounded memory), not to an error or wrong training."""
+    from gnn_tumor_seg_tpu.data.cache import LRUBytesCache
+
+    data = SyntheticGraphDataset(n_samples=6, grid=5, seed=3)
+    trainer = GNNTrainer("GSpool", small_hp(batch_size=2), data, seed=0,
+                         impl="pallas")
+    trainer._graph_cache = LRUBytesCache(max_bytes=1)  # holds 1 entry max
+    first = trainer.run_epoch()
+    for _ in range(3):
+        last = trainer.run_epoch()
+    assert last < first, (first, last)
+    assert len(trainer._graph_cache) == 1
+
+
 def test_fast_vs_exact_convergence_pallas():
     """Pins the trainer's default precision='fast' (single-pass bf16 Pallas
     kernels) against 'exact' on the SAME pallas impl: both loss trajectories
