@@ -21,11 +21,22 @@ from collections import OrderedDict
 
 import jax
 
-__all__ = ["LRUBytesCache", "pytree_nbytes", "default_cache_bytes"]
+__all__ = ["LRUBytesCache", "pytree_nbytes", "default_cache_bytes",
+           "device_cache_bytes"]
 
 
 def default_cache_bytes() -> int:
     return int(float(os.environ.get("GTS_GRAPH_CACHE_MB", "4096")) * 2**20)
+
+
+def device_cache_bytes() -> int:
+    """HBM budget for the trainer's device-tier graph cache (a hit costs zero
+    per-step transfer). 4 GB default: holds the full 1,251-brain BraTS-2021
+    set (~3.0 GB padded+tiled) next to the flagship training state on a
+    16 GB v5e; datasets beyond it spill to the host tier and re-ship 2.4 MB
+    per evicted sample (H2D only, async)."""
+    return int(float(os.environ.get("GTS_DEVICE_GRAPH_CACHE_MB", "4096"))
+               * 2**20)
 
 
 def pytree_nbytes(tree) -> int:

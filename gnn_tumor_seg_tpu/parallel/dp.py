@@ -63,6 +63,10 @@ class ParallelGNNTrainer(GNNTrainer):
             mesh = make_mesh()
         self.mesh = mesh
         super().__init__(model_type, hp, train_data, seed=seed, **kw)
+        # batches are assembled host-side and device_put SHARDED over the
+        # mesh; a single-device graph cache would force a per-step reshard
+        # (and make_global_batch would D2H a device-assembled batch)
+        self._device_tier = False
         # place optimizer state + params according to the TP specs
         shardings = state_shardings(self.state, mesh)
         self.state = jax.device_put(self.state, shardings)

@@ -81,11 +81,22 @@ class GNNTrainer:
         self.class_weights = jnp.asarray(hp.class_weights, jnp.float32)
         self.train_data = train_data
         self._shape_budget = None
-        # byte-bounded LRU: tiled aux is ~2.3 MB/graph at full scale, so an
-        # unbounded dict would hold GBs at BraTS-2021 dataset sizes
-        from ..data.cache import LRUBytesCache
+        # two-tier graph cache (both byte-bounded LRUs):
+        #   host tier  — numpy graphs + tiling aux, built from raw samples
+        #                without ever touching the device (no per-sample D2H);
+        #                budget costs host RAM, so dataset size is not
+        #                HBM-bounded;
+        #   device tier— device_put copies; a hit costs ZERO transfer per
+        #                step, a spill re-ships 2.4 MB (H2D only, async).
+        # measured at 1,251-brain scale by scripts/bench_host_pipeline.py
+        from ..data.cache import LRUBytesCache, device_cache_bytes
 
         self._graph_cache = LRUBytesCache()
+        self._device_cache = LRUBytesCache(device_cache_bytes())
+        # mesh/multi-host trainers assemble the batch host-side and
+        # device_put it SHARDED (make_global_batch) — pre-placing samples on
+        # one device would just force a reshard (or a D2H) per step
+        self._device_tier = True
         self._edge_counts: dict[int, int] = {}
         # monotone tiling-U budget (quantized): pins the batch unique budget so
         # the step shape does not float with batch composition (each distinct
@@ -145,6 +156,9 @@ class GNNTrainer:
             if i not in self._edge_counts:
                 self._edge_counts[i] = int(np.asarray(g.nbr_mask).sum())
             return g
+        g_dev = self._device_cache.get(i) if self._device_tier else None
+        if g_dev is not None:
+            return g_dev
         g = self._graph_cache.get(i)
         if g is None:
             tile = getattr(self.model, "preferred_tile", None)
@@ -158,9 +172,6 @@ class GNNTrainer:
 
                 s = self.train_data.get_sample(i)
                 n_pad, d_pad = self._shape_budget
-                # host (numpy) leaves: the cache stays in host RAM (dataset
-                # size is not HBM-bounded) and each STEP ships one assembled
-                # batch, overlapped with the previous step by async dispatch
                 g = graph_from_arrays(
                     s.feats, s.src, s.dst, labels=s.labels,
                     n_pad=n_pad, d_pad=d_pad, edge_weights=s.edge_weights,
@@ -173,6 +184,11 @@ class GNNTrainer:
                 # host-side count: a device-side sum here would synchronize
                 # the step pipeline on every first-epoch fetch
                 self._edge_counts[i] = int(np.asarray(g.nbr_mask).sum())
+        if not self._device_tier:
+            return g
+        if isinstance(g.nbr, np.ndarray):
+            g = jax.device_put(g)                       # async H2D, no sync
+        self._device_cache.put(i, g)
         return g
 
     def _start_prefetch(self, order) -> None:

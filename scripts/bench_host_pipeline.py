@@ -132,6 +132,8 @@ def measure(root: str, epochs: int, batch_size: int) -> None:
             "rss_peak_mb": round(rss_mb()),
             "trainer_cache_mb": round(trainer._graph_cache.nbytes / 2**20),
             "trainer_cache_n": len(trainer._graph_cache),
+            "device_cache_mb": round(trainer._device_cache.nbytes / 2**20),
+            "device_cache_n": len(trainer._device_cache),
             "dataset_cache_mb": round(data2._cache.nbytes / 2**20),
             "dataset_cache_n": len(data2._cache),
         }

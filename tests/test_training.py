@@ -142,12 +142,14 @@ def test_trainer_cache_eviction_bound(tmp_path):
     data = SyntheticGraphDataset(n_samples=6, grid=5, seed=3)
     trainer = GNNTrainer("GSpool", small_hp(batch_size=2), data, seed=0,
                          impl="pallas")
-    trainer._graph_cache = LRUBytesCache(max_bytes=1)  # holds 1 entry max
+    trainer._graph_cache = LRUBytesCache(max_bytes=1)   # each tier holds
+    trainer._device_cache = LRUBytesCache(max_bytes=1)  # 1 entry max
     first = trainer.run_epoch()
     for _ in range(3):
         last = trainer.run_epoch()
     assert last < first, (first, last)
     assert len(trainer._graph_cache) == 1
+    assert len(trainer._device_cache) == 1
 
 
 def test_fast_vs_exact_convergence_pallas():
