@@ -68,8 +68,20 @@ def predict_one_sample(gnn_forward, cnn_forward, graph, img: np.ndarray,
     x = combine_logits_and_image(voxel_logits, img, tumor_crop)
     true_shape = x.shape[:3]
     x, _ = pad_to_bucket(x)
-    refined = np.asarray(cnn_forward(jax.numpy.asarray(x)[None]))[0]
-    preds = refined.argmax(-1)[: true_shape[0], : true_shape[1], : true_shape[2]]
+    from ..ops.pallas.precision import fast_precision
+
+    if fast_precision():
+        # fast mode (the trainer default): the CNN computes in bf16 anyway,
+        # so cast host-side and halve the ~200 MB padded-crop H2D
+        import ml_dtypes
+
+        x = x.astype(ml_dtypes.bfloat16)
+    # argmax ON DEVICE: D2H only the int16 label volume (~25 MB), not the
+    # full per-class f32 logits (~200 MB) — identical result, ~8x less
+    # transfer (the CNN serve stage is transfer-bound, BASELINE.md)
+    refined = cnn_forward(jax.numpy.asarray(x)[None])[0]
+    preds = np.asarray(jax.numpy.argmax(refined, -1).astype(jax.numpy.int16))
+    preds = preds[: true_shape[0], : true_shape[1], : true_shape[2]]
     out = np.zeros_like(sv_partition, dtype=np.int16)
     out[tumor_crop] = preds
     return out

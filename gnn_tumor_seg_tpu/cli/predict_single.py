@@ -61,11 +61,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", "--boxiness", default=0.5, type=float)
     p.add_argument("-m", "--modality_extensions", nargs="+",
                    default=DEFAULT_MODALITY_EXTS)
+    p.add_argument("--precision", default="exact", choices=("exact", "fast"),
+                   help="'fast' runs the CNN refinement in bf16 (the training "
+                        "default numerics) and halves its device transfer")
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from ..ops.pallas.precision import set_precision_mode
+
+    set_precision_mode(args.precision)
     _, _, _, gnn_forward = load_gnn_from_checkpoint(os.path.expanduser(args.gnn_weights))
     _, _, _, cnn_forward = load_cnn_from_checkpoint(os.path.expanduser(args.cnn_weights))
     pred = predict_single_mri(
