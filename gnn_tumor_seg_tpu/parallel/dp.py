@@ -94,7 +94,7 @@ class ParallelGNNTrainer(GNNTrainer):
             np.asarray([n_pad, d_pad, u], np.int64))
         n_pad, d_pad, u = np.max(np.atleast_2d(rows), axis=0)
         self._shape_budget = (int(n_pad), int(d_pad))
-        self._u_budget = -(-int(u) // 32) * 32
+        self._u_budget = -(-int(u) // 16) * 16  # u_align quantum: no slack
 
     def _local_batch_size(self) -> int:
         """hp.batch_size is the GLOBAL batch; each host contributes its

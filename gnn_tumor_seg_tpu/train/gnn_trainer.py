@@ -258,7 +258,11 @@ class GNNTrainer:
                 u_obs = max(g.tiled.unique_budget for g in graphs
                             if g.tiled is not None)
                 if u_obs > self._u_budget:  # quantize: rare, bounded recompiles
-                    self._u_budget = -(-u_obs // 32) * 32
+                    # 16 = the aux u_align quantum: U is already 16-aligned,
+                    # so this adds NO slack in the common case (a 32-round
+                    # padded tile-64's U=80 to 96 — 20% extra gather rows and
+                    # MXU work in every kernel)
+                    self._u_budget = -(-u_obs // 16) * 16
             batch = self._assemble_batch(graphs, n_pad, d_pad)
             dropout_key, sub = jax.random.split(dropout_key)
             from ..ops.pallas.precision import precision_scope
