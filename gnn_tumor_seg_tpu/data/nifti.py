@@ -55,14 +55,52 @@ def _open(fp: str, mode: str):
     return open(fp, mode)
 
 
+def _gunzip_all(buf: bytes) -> bytes:
+    """One-shot decompress of a (possibly multi-member) gzip stream.
+
+    Multi-member files are what _gzip_parallel writes; plain single-member
+    files (any external tool) take exactly one loop iteration, preserving the
+    measured one-shot-zlib speed advantage over gzip.open's chunked streams."""
+    out = []
+    while buf:
+        o = zlib.decompressobj(wbits=31)
+        out.append(o.decompress(buf))
+        out.append(o.flush())
+        buf = o.unused_data
+    return out[0] if len(out) == 1 else b"".join(out)
+
+
 def _read_bytes(fp: str) -> bytes:
     if fp.endswith(".gz"):
         # one-shot zlib decompress of the whole file: measurably faster than
         # gzip.open's chunked streaming (the dominant preprocess cost per brain)
         with open(fp, "rb") as f:
-            return zlib.decompress(f.read(), wbits=31)
+            return _gunzip_all(f.read())
     with open(fp, "rb") as f:
         return f.read()
+
+
+def _gzip_parallel(parts: list[bytes], level: int = 1,
+                   chunk: int = 8 << 20) -> bytes:
+    """Compress a byte payload as CONCATENATED gzip members, one per ~8 MB
+    chunk, compressed in parallel threads (zlib releases the GIL). RFC 1952
+    defines a gzip file as a sequence of members, so every gzip reader
+    (gzip.open, nibabel, zcat) accepts the output; _gunzip_all reads it
+    one-shot. Halves the per-brain write cost on the 2-core preprocess host."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    payload = b"".join(parts)
+    views = [memoryview(payload)[i:i + chunk]
+             for i in range(0, len(payload), chunk)] or [b""]
+
+    def member(v):
+        c = zlib.compressobj(level, zlib.DEFLATED, 31)
+        return c.compress(v) + c.flush()
+
+    if len(views) == 1:
+        return member(views[0])
+    with ThreadPoolExecutor(max_workers=min(8, len(views))) as pool:
+        return b"".join(pool.map(member, views))
 
 
 def read_nifti(fp: str, dtype=None, return_affine: bool = False):
@@ -140,10 +178,16 @@ def write_nifti(img: np.ndarray, fp: str, affine: np.ndarray = BRATS_AFFINE) -> 
     d = os.path.dirname(os.path.abspath(fp))
     if d:
         os.makedirs(d, exist_ok=True)
-    with _open(fp, "wb") as f:
-        f.write(bytes(hdr))
-        f.write(b"\x00\x00\x00\x00")  # extension flag
-        f.write(img.tobytes(order="F"))
+    parts = [bytes(hdr), b"\x00\x00\x00\x00", img.tobytes(order="F")]
+    if fp.endswith(".gz"):
+        # parallel multi-member gzip: the write path is compress-bound
+        blob = _gzip_parallel(parts)
+        with open(fp, "wb") as f:
+            f.write(blob)
+    else:
+        with open(fp, "wb") as f:
+            for p in parts:
+                f.write(p)
 
 
 def save_as_nifti(img: np.ndarray, fp: str) -> None:
