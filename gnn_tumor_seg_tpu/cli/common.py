@@ -15,8 +15,40 @@ from ..train.cnn_trainer import combine_logits_and_image, pad_to_bucket
 
 __all__ = [
     "load_gnn_from_checkpoint", "load_cnn_from_checkpoint",
-    "node_logits_to_voxel_logits", "predict_one_sample",
+    "node_logits_to_voxel_logits", "predict_one_sample", "resolve_slic_fn",
 ]
+
+#: BraTS raw volume extent — brain crops never exceed it, so it is the safe
+#: fixed pad shape that lets the TPU SLIC compile once per dataset.
+BRATS_RAW_SHAPE = (240, 240, 155)
+
+
+def resolve_slic_fn(impl: str, pad_shape=BRATS_RAW_SHAPE):
+    """Map a --slic_impl CLI choice to a slic_fn for build_graph_sample.
+
+    auto/native/numpy run the host canonical (data/slic.py); 'tpu' routes the
+    assignment iterations through ops/slic_tpu.py on the default JAX device,
+    padded to `pad_shape` so every crop shape shares one compiled program.
+    """
+    if impl == "auto":
+        return None
+    if impl in ("native", "numpy"):
+        from functools import partial
+
+        from ..data.slic import slic_supervoxels
+
+        return partial(slic_supervoxels, use_native=(impl == "native"))
+    if impl == "tpu":
+        from ..ops.slic_tpu import slic_supervoxels_tpu
+
+        def tpu_slic(image, **kw):
+            # clamp so oversize (non-BraTS) volumes recompile instead of raise
+            dims = np.asarray(image).shape[:3]
+            ps = tuple(max(p, int(s)) for p, s in zip(pad_shape, dims))
+            return slic_supervoxels_tpu(image, pad_shape=ps, **kw)
+
+        return tpu_slic
+    raise ValueError(f"unknown slic impl {impl!r}")
 
 
 def load_gnn_from_checkpoint(weight_file: str):

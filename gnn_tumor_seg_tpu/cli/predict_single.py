@@ -31,7 +31,7 @@ from .common import (load_cnn_from_checkpoint, load_gnn_from_checkpoint,
 def predict_single_mri(input_dir: str, gnn_forward, cnn_forward,
                        num_nodes: int = 15000, num_neighbors: int | None = 10,
                        boxiness: float = 0.5,
-                       modality_exts=None) -> np.ndarray:
+                       modality_exts=None, slic_fn=None) -> np.ndarray:
     """Full chain for one MRI directory -> BraTS-labelled full-size volume."""
     modality_exts = modality_exts or DEFAULT_MODALITY_EXTS
     image = nifti.read_in_patient_sample(input_dir, modality_exts)
@@ -41,7 +41,7 @@ def predict_single_mri(input_dir: str, gnn_forward, cnn_forward,
     std = np.asarray(STANDARDIZATION_STATS[1], np.float32)
     standardized = standardize_img(normalize_img(cropped), mean, std)
     sample = build_graph_sample(standardized, None, num_nodes, boxiness,
-                               num_neighbors)
+                               num_neighbors, slic_fn=slic_fn)
     graph = graph_from_arrays(sample.feats, sample.src, sample.dst)
     pred = predict_one_sample(gnn_forward, cnn_forward, graph, standardized,
                               sample.sv_partition)
@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", default="exact", choices=("exact", "fast"),
                    help="'fast' runs the CNN refinement in bf16 (the training "
                         "default numerics) and halves its device transfer")
+    p.add_argument("--slic_impl", default="auto",
+                   choices=("auto", "native", "numpy", "tpu"),
+                   help="supervoxelization backend (tpu = ops/slic_tpu.py "
+                        "device assignment)")
     return p
 
 
@@ -74,12 +78,15 @@ def main(argv=None) -> None:
     set_precision_mode(args.precision)
     _, _, _, gnn_forward = load_gnn_from_checkpoint(os.path.expanduser(args.gnn_weights))
     _, _, _, cnn_forward = load_cnn_from_checkpoint(os.path.expanduser(args.cnn_weights))
+    from .common import resolve_slic_fn
+
     pred = predict_single_mri(
         os.path.expanduser(args.input_dir), gnn_forward, cnn_forward,
         num_nodes=args.num_nodes,
         num_neighbors=args.num_neighbors or None,
         boxiness=args.boxiness,
         modality_exts=args.modality_extensions,
+        slic_fn=resolve_slic_fn(args.slic_impl),
     )
     os.makedirs(os.path.expanduser(args.output_dir), exist_ok=True)
     # name the output after the modality files' shared prefix, else 'prediction'

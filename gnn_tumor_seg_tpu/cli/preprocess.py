@@ -38,11 +38,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="attach Gaussian intensity-similarity edge weights "
                         "(the reference's weighted-adjacency option, "
                         "graphgen.py:142-150)")
+    p.add_argument("--slic_impl", default="auto",
+                   choices=("auto", "native", "numpy", "tpu"),
+                   help="supervoxelization backend: host canonical "
+                        "(auto/native/numpy) or the TPU assignment path "
+                        "(ops/slic_tpu.py; one compile per dataset)")
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from .common import resolve_slic_fn
+
     pre = DataPreprocessor(
         data_dir=args.data_dir,
         output_dir=args.output_dir,
@@ -55,6 +62,7 @@ def main(argv=None) -> None:
         save_json=args.save_json,
         n_threads=args.threads,
         weighted=args.weighted,
+        slic_fn=resolve_slic_fn(args.slic_impl),
     )
     pre.run()
     print(f"Finished preprocessing data from {args.data_dir}.")
