@@ -45,6 +45,14 @@ def resolve_slic_fn(impl: str, pad_shape=BRATS_RAW_SHAPE):
             # clamp so oversize (non-BraTS) volumes recompile instead of raise
             dims = np.asarray(image).shape[:3]
             ps = tuple(max(p, int(s)) for p, s in zip(pad_shape, dims))
+            # fast precision mode (the trainer/serve default numerics) ships
+            # the volume as bf16 — halves the H2D leg, math stays f32
+            from ..ops.pallas.precision import fast_precision
+
+            if fast_precision() and "input_dtype" not in kw:
+                import jax.numpy as jnp
+
+                kw["input_dtype"] = jnp.bfloat16
             return slic_supervoxels_tpu(image, pad_shape=ps, **kw)
 
         return tpu_slic

@@ -268,7 +268,9 @@ def slic_assign_tpu(
         jnp.float32(1.0 / step ** 2),
         gmax_a=cap(gx), gmax_b=cap(gz), gmax_d=cap(gy), max_iter=max_iter,
     )
-    out = np.asarray(assign)[:X, :Z, :Y]
+    if gx * gy * gz <= np.iinfo(np.int16).max:
+        assign = assign.astype(jnp.int16)  # halve the D2H pull
+    out = np.asarray(assign).astype(np.int32, copy=False)[:X, :Z, :Y]
     return np.ascontiguousarray(out.transpose(0, 2, 1))  # back to (X, Y, Z)
 
 
@@ -305,7 +307,13 @@ def slic_supervoxels_tpu(
         pad_shape=pad_shape, input_dtype=input_dtype,
     )
     if enforce_connectivity:
-        labels = _enforce_connectivity(
-            labels, min_size=int((step ** 3) * min_size_factor)
-        )
+        from ..data import native
+
+        if native.available():
+            # NOTE: returns the fixed array (does not mutate its argument)
+            labels = native.enforce_connectivity_native(labels)
+        else:
+            labels = _enforce_connectivity(
+                labels, min_size=int((step ** 3) * min_size_factor)
+            )
     return _relabel_contiguous(labels)

@@ -105,11 +105,16 @@ def main():
     raw = slic_assign_tpu(sm, args.num_nodes, 0.5)
     t_assign = time.perf_counter() - t0
     t0 = time.perf_counter()
+    from gnn_tumor_seg_tpu.data import native
     from gnn_tumor_seg_tpu.data.slic import (_enforce_connectivity, _init_grid,
                                              _relabel_contiguous)
 
-    _, step = _init_grid(vol.shape[:3], args.num_nodes)
-    _relabel_contiguous(_enforce_connectivity(raw, int(step ** 3 * 0.25)))
+    if native.available():
+        fixed = native.enforce_connectivity_native(raw)
+    else:
+        _, step = _init_grid(vol.shape[:3], args.num_nodes)
+        fixed = _enforce_connectivity(raw, int(step ** 3 * 0.25))
+    _relabel_contiguous(fixed)
     t_post = time.perf_counter() - t0
 
     result = {
