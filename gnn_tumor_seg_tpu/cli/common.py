@@ -3,6 +3,8 @@ GNN -> CNN per-sample prediction chain."""
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import jax
 
@@ -97,12 +99,21 @@ def node_logits_to_voxel_logits(node_logits: np.ndarray,
 
 
 def predict_one_sample(gnn_forward, cnn_forward, graph, img: np.ndarray,
-                       sv_partition: np.ndarray) -> np.ndarray:
+                       sv_partition: np.ndarray,
+                       stage_times: dict | None = None) -> np.ndarray:
     """Joint GNN -> CNN chain for one brain
     (`scripts/generate_joint_predictions.py:59-73`): GNN node logits -> voxel
     logits -> tumor crop -> CNN refinement -> argmax embedded into the full
-    (cropped-brain) volume. Returns int16 labels in training id space."""
+    (cropped-brain) volume. Returns int16 labels in training id space.
+
+    stage_times, when given, receives wall-clock per stage measured on the
+    REAL serve path (each stage ends on a host-visible result, so the timers
+    see true device sync through the relay; scripts/bench_serve.py consumes
+    this instead of re-implementing the chain)."""
+    rec = time.perf_counter
+    t0 = rec()
     node_logits = np.asarray(gnn_forward(graph))[0][: int(graph.n_nodes[0])]
+    t1 = rec()
     voxel_logits = node_logits_to_voxel_logits(node_logits, sv_partition)
     tumor_crop = determine_tumor_crop(voxel_logits.argmax(-1))
     x = combine_logits_and_image(voxel_logits, img, tumor_crop)
@@ -116,12 +127,19 @@ def predict_one_sample(gnn_forward, cnn_forward, graph, img: np.ndarray,
         import ml_dtypes
 
         x = x.astype(ml_dtypes.bfloat16)
+    t2 = rec()
     # argmax ON DEVICE: D2H only the int16 label volume (~25 MB), not the
     # full per-class f32 logits (~200 MB) — identical result, ~8x less
     # transfer (the CNN serve stage is transfer-bound, BASELINE.md)
     refined = cnn_forward(jax.numpy.asarray(x)[None])[0]
     preds = np.asarray(jax.numpy.argmax(refined, -1).astype(jax.numpy.int16))
+    t3 = rec()
     preds = preds[: true_shape[0], : true_shape[1], : true_shape[2]]
     out = np.zeros_like(sv_partition, dtype=np.int16)
     out[tumor_crop] = preds
+    if stage_times is not None:
+        stage_times["gnn_forward"] = t1 - t0
+        stage_times["crop_and_prep"] = t2 - t1
+        stage_times["cnn_forward"] = t3 - t2
+        stage_times["cnn_crop_shape"] = list(true_shape)
     return out

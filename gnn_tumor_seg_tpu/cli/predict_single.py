@@ -31,20 +31,35 @@ from .common import (load_cnn_from_checkpoint, load_gnn_from_checkpoint,
 def predict_single_mri(input_dir: str, gnn_forward, cnn_forward,
                        num_nodes: int = 15000, num_neighbors: int | None = 10,
                        boxiness: float = 0.5,
-                       modality_exts=None, slic_fn=None) -> np.ndarray:
-    """Full chain for one MRI directory -> BraTS-labelled full-size volume."""
+                       modality_exts=None, slic_fn=None,
+                       stage_times: dict | None = None) -> np.ndarray:
+    """Full chain for one MRI directory -> BraTS-labelled full-size volume.
+
+    stage_times, when given, is filled with per-stage wall-clock of THIS run
+    (host stages here, device stages inside predict_one_sample)."""
+    import time
+    rec = time.perf_counter
     modality_exts = modality_exts or DEFAULT_MODALITY_EXTS
+    t0 = rec()
     image = nifti.read_in_patient_sample(input_dir, modality_exts)
+    t1 = rec()
     crop = determine_brain_crop(image)
     cropped = image[crop]
     mean = np.asarray(STANDARDIZATION_STATS[0], np.float32)
     std = np.asarray(STANDARDIZATION_STATS[1], np.float32)
     standardized = standardize_img(normalize_img(cropped), mean, std)
+    t2 = rec()
     sample = build_graph_sample(standardized, None, num_nodes, boxiness,
                                num_neighbors, slic_fn=slic_fn)
     graph = graph_from_arrays(sample.feats, sample.src, sample.dst)
+    t3 = rec()
     pred = predict_one_sample(gnn_forward, cnn_forward, graph, standardized,
-                              sample.sv_partition)
+                              sample.sv_partition, stage_times=stage_times)
+    if stage_times is not None:
+        stage_times["nifti_read"] = t1 - t0
+        stage_times["normalize"] = t2 - t1
+        stage_times["graph_build"] = t3 - t2
+        stage_times["n_nodes"] = int(graph.n_nodes[0])
     pred = uncrop_to_brats_size(crop, pred, shape=image.shape[:3])
     return swap_labels_to_brats(pred)
 

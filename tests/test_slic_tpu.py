@@ -90,6 +90,48 @@ def test_bf16_upload_mode():
     assert _agreement(f32, bf16) >= 0.95
 
 
+def test_device_gaussian_matches_scipy():
+    """_gauss_smooth_t == scipy gaussian_filter (reflect boundary), including
+    on a padded volume with traced true extents."""
+    import jax.numpy as jnp
+    from scipy import ndimage
+
+    from gnn_tumor_seg_tpu.ops.slic_tpu import _gauss_kernel1d, _gauss_smooth_t
+
+    rng = np.random.default_rng(11)
+    X, Z, Y, C = 20, 14, 17, 3
+    vol = rng.normal(size=(C, X, Z, Y)).astype(np.float32)
+    want = np.stack(
+        [ndimage.gaussian_filter(vol[c], 1.0, mode="reflect")
+         for c in range(C)]
+    )
+    w = _gauss_kernel1d(1.0)
+    # unpadded
+    got = np.asarray(_gauss_smooth_t(jnp.asarray(vol), jnp.int32(X),
+                                     jnp.int32(Z), jnp.int32(Y),
+                                     jnp.asarray(w), taps=len(w)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # padded: true extents traced; pad region must stay exactly zero
+    pad = np.zeros((C, X + 6, Z + 3, Y + 5), np.float32)
+    pad[:, :X, :Z, :Y] = vol
+    got_p = np.asarray(_gauss_smooth_t(jnp.asarray(pad), jnp.int32(X),
+                                       jnp.int32(Z), jnp.int32(Y),
+                                       jnp.asarray(w), taps=len(w)))
+    np.testing.assert_allclose(got_p[:, :X, :Z, :Y], want, rtol=2e-5,
+                               atol=2e-5)
+    assert np.all(got_p[:, X:] == 0) and np.all(got_p[:, :, Z:] == 0)
+    assert np.all(got_p[:, :, :, Y:] == 0)
+
+
+def test_device_vs_host_smoothing_pipeline_agreement():
+    vol = _volume(seed=9)
+    dev = slic_supervoxels_tpu(vol, n_segments=48, compactness=0.5,
+                               smooth_impl="device")
+    host = slic_supervoxels_tpu(vol, n_segments=48, compactness=0.5,
+                                smooth_impl="host")
+    assert _agreement(dev, host) >= 0.98
+
+
 def test_assign_is_deterministic():
     vol = _volume(seed=5, shape=(24, 20, 18))
     from scipy import ndimage
