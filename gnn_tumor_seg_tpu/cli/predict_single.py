@@ -25,18 +25,23 @@ from ..data.image import (determine_brain_crop, normalize_img, standardize_img,
 from ..data.preprocess import DEFAULT_MODALITY_EXTS, STANDARDIZATION_STATS
 from ..ops.graph import graph_from_arrays
 from .common import (load_cnn_from_checkpoint, load_gnn_from_checkpoint,
-                     predict_one_sample)
+                     predict_one_sample, predict_one_sample_device)
 
 
 def predict_single_mri(input_dir: str, gnn_forward, cnn_forward,
                        num_nodes: int = 15000, num_neighbors: int | None = 10,
                        boxiness: float = 0.5,
                        modality_exts=None, slic_fn=None,
-                       stage_times: dict | None = None) -> np.ndarray:
+                       stage_times: dict | None = None,
+                       cnn_prep: str = "device") -> np.ndarray:
     """Full chain for one MRI directory -> BraTS-labelled full-size volume.
 
     stage_times, when given, is filled with per-stage wall-clock of THIS run
-    (host stages here, device stages inside predict_one_sample)."""
+    (host stages here, device stages inside predict_one_sample).
+    cnn_prep='device' (default) keeps GNN logits on device and gathers the
+    CNN input crop there (predict_one_sample_device — ~half the H2D bytes);
+    'host' is the reference-shaped host materialization path. Outputs are
+    bit-identical in exact mode."""
     import time
     rec = time.perf_counter
     modality_exts = modality_exts or DEFAULT_MODALITY_EXTS
@@ -53,8 +58,10 @@ def predict_single_mri(input_dir: str, gnn_forward, cnn_forward,
                                num_neighbors, slic_fn=slic_fn)
     graph = graph_from_arrays(sample.feats, sample.src, sample.dst)
     t3 = rec()
-    pred = predict_one_sample(gnn_forward, cnn_forward, graph, standardized,
-                              sample.sv_partition, stage_times=stage_times)
+    predict_fn = (predict_one_sample_device if cnn_prep == "device"
+                  else predict_one_sample)
+    pred = predict_fn(gnn_forward, cnn_forward, graph, standardized,
+                      sample.sv_partition, stage_times=stage_times)
     if stage_times is not None:
         stage_times["nifti_read"] = t1 - t0
         stage_times["normalize"] = t2 - t1
@@ -83,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("auto", "native", "numpy", "tpu"),
                    help="supervoxelization backend (tpu = ops/slic_tpu.py "
                         "device assignment)")
+    p.add_argument("--cnn_prep", default="device", choices=("device", "host"),
+                   help="where the CNN input crop is assembled; 'device' "
+                        "keeps GNN logits on-device and halves H2D bytes "
+                        "(bit-identical output in exact mode)")
     return p
 
 
@@ -102,6 +113,7 @@ def main(argv=None) -> None:
         boxiness=args.boxiness,
         modality_exts=args.modality_extensions,
         slic_fn=resolve_slic_fn(args.slic_impl),
+        cnn_prep=args.cnn_prep,
     )
     os.makedirs(os.path.expanduser(args.output_dir), exist_ok=True)
     # name the output after the modality files' shared prefix, else 'prediction'

@@ -39,6 +39,7 @@ def main():
                          "transfers); 'exact' = f32 everywhere")
     ap.add_argument("--slic_impl", default="auto",
                     choices=("auto", "native", "numpy", "tpu"))
+    ap.add_argument("--cnn_prep", default="device", choices=("device", "host"))
     args = ap.parse_args()
 
     import jax
@@ -56,6 +57,7 @@ def main():
 
     set_precision_mode(args.precision)
     slic_fn = resolve_slic_fn(args.slic_impl)
+    prep = args.cnn_prep
 
     tmp = tempfile.mkdtemp(prefix="serve_bench_")
     rng = np.random.default_rng(0)
@@ -83,7 +85,8 @@ def main():
           f"slic={args.slic_impl}", file=sys.stderr)
     t0 = time.perf_counter()
     pred = predict_single_mri(in_dir, gnn_fwd, cnn_fwd,
-                              num_nodes=args.num_nodes, slic_fn=slic_fn)
+                              num_nodes=args.num_nodes, slic_fn=slic_fn,
+                              cnn_prep=prep)
     cold = time.perf_counter() - t0
     assert pred.shape == (240, 240, 155), pred.shape
     print(f"[serve] cold (incl. compile): {cold:.1f}s", file=sys.stderr)
@@ -94,7 +97,7 @@ def main():
         t0 = time.perf_counter()
         predict_single_mri(in_dir, gnn_fwd, cnn_fwd,
                            num_nodes=args.num_nodes, slic_fn=slic_fn,
-                           stage_times=st)
+                           stage_times=st, cnn_prep=prep)
         warm.append(time.perf_counter() - t0)
         if st is not None:
             stages = st
@@ -105,6 +108,7 @@ def main():
         "cold_s": round(cold, 1),
         "precision": args.precision,
         "slic_impl": args.slic_impl,
+        "cnn_prep": prep,
         "device": str(jax.devices()[0]),
     }
     for k, v in stages.items():

@@ -111,6 +111,37 @@ def test_single_mri_deployment_contract(workdir, tmp_path):
     assert set(np.unique(pred)) <= {0, 1, 2, 4}
 
 
+@pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_device_cnn_prep_matches_host(workdir, mode):
+    """predict_one_sample_device == predict_one_sample, bit-for-bit.
+
+    The device path replaces the host voxel-gather/crop/edge-pad/upload with
+    on-device gathers (cli/common.py:predict_one_sample_device); every step
+    is an exact permutation/copy of the same values, so even fast (bf16)
+    mode must agree exactly."""
+    from gnn_tumor_seg_tpu.cli.common import (load_cnn_from_checkpoint,
+                                              load_gnn_from_checkpoint)
+    from gnn_tumor_seg_tpu.cli.predict_single import predict_single_mri
+    from gnn_tumor_seg_tpu.ops.pallas.precision import precision_scope
+
+    raw_case = next((workdir / "raw").iterdir())
+    _, _, _, gfwd = load_gnn_from_checkpoint(
+        str(workdir / "logs" / "pipe_gnn_f1.ckpt"))
+    _, _, _, cfwd = load_cnn_from_checkpoint(
+        str(workdir / "logs" / "pipe_cnn_f1.ckpt"))
+    with precision_scope(mode):
+        host = predict_single_mri(str(raw_case), gfwd, cfwd, num_nodes=250,
+                                  num_neighbors=6, cnn_prep="host")
+        dev_times = {}
+        dev = predict_single_mri(str(raw_case), gfwd, cfwd, num_nodes=250,
+                                 num_neighbors=6, cnn_prep="device",
+                                 stage_times=dev_times)
+    assert dev.shape == host.shape
+    assert np.array_equal(dev, host)
+    assert {"gnn_forward", "crop_and_prep", "cnn_forward",
+            "cnn_crop_shape"} <= set(dev_times)
+
+
 def test_bad_save_format_rejected(workdir):
     with pytest.raises(ValueError):
         generate_gnn_predictions.save_predictions(None, None, None, "bogus")
