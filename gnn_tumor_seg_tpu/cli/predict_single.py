@@ -100,7 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from ..ops.pallas.precision import set_precision_mode
+    from ..runtime import enable_host_alloc_reuse
 
+    # serve chains several ~100 MB host temporaries per MRI; arena reuse
+    # avoids re-paying ~10 MB/s first-touch faults on every request
+    enable_host_alloc_reuse()
     set_precision_mode(args.precision)
     _, _, _, gnn_forward = load_gnn_from_checkpoint(os.path.expanduser(args.gnn_weights))
     _, _, _, cnn_forward = load_cnn_from_checkpoint(os.path.expanduser(args.cnn_weights))

@@ -42,7 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("auto", "native", "numpy", "tpu"),
                    help="supervoxelization backend: host canonical "
                         "(auto/native/numpy) or the TPU assignment path "
-                        "(ops/slic_tpu.py; one compile per dataset)")
+                        "(ops/slic_tpu.py; one compile per dataset). For "
+                        "bulk preprocessing the host default is FASTER "
+                        "(threads overlap samples across cores; the single "
+                        "device serializes) — 'tpu' wins for single-sample "
+                        "latency, see BASELINE.md")
     return p
 
 

@@ -23,9 +23,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from gnn_tumor_seg_tpu.runtime import enable_compilation_cache
+from gnn_tumor_seg_tpu.runtime import (enable_compilation_cache,
+                                       enable_host_alloc_reuse)
 
 enable_compilation_cache()
+enable_host_alloc_reuse()
 
 import numpy as np
 
