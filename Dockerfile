@@ -25,6 +25,12 @@ COPY weights/ weights/
 RUN python native/build.py
 
 ENV PYTHONPATH=/app
+
+# bake a hot XLA persistent cache: pre-compiles the serve-path programs
+# (GNN forward, SLIC device program, gather/bbox, CNN at the warmup bucket)
+# so per-request cold start pays no avoidable compiles
+RUN python -m gnn_tumor_seg_tpu.cli.warmup \
+        -g /app/weights/gnn.ckpt -c /app/weights/cnn.ckpt
 ENTRYPOINT ["python", "-m", "gnn_tumor_seg_tpu.cli.predict_single", \
             "-i", "/input", "-o", "/output", \
             "-g", "/app/weights/gnn.ckpt", "-c", "/app/weights/cnn.ckpt"]

@@ -1,0 +1,97 @@
+"""CLI: pre-compile the serve-path XLA programs into the persistent cache.
+
+The Docker single-MRI contract (`/root/reference/README.md:127-173`) runs one
+prediction per container invocation — a cold process. XLA compiles are the
+dominant cold cost (~16-60 s with a warm cache, ~2-3 min with an empty one on
+a remote-compile TPU), and the persistent compilation cache
+(`runtime.enable_compilation_cache`) is keyed per machine, so running this
+once at image build / host deploy moves those compiles out of request latency:
+it drives the real `predict_single_mri` chain on a synthetic BraTS-shaped
+brain, populating the cache with the GNN forward, the SLIC device program
+(one program for ALL brain-crop shapes — traced grid dims), the voxel-gather
+/ bbox and crop-combine programs, and the CNN at the synthetic tumor's crop
+bucket. CNN crop buckets are 16-voxel-quantized per axis, so real MRIs whose
+tumor crop lands in a different bucket pay one residual CNN compile; all
+other programs are shape-stable.
+
+Run:  python -m gnn_tumor_seg_tpu.cli.warmup -g gnn.ckpt -c cnn.ckpt
+(The Dockerfile runs this at build time so the image ships a hot cache.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_synthetic_brain(shape=(240, 240, 155), seed=0):
+    """Four smooth modality volumes with a bright blob, BraTS-shaped: enough
+    structure for the brain crop, SLIC and tumor crop to behave like a real
+    sample (values never leave this process)."""
+    from scipy import ndimage
+
+    rng = np.random.default_rng(seed)
+    base = ndimage.gaussian_filter(
+        rng.normal(size=shape).astype(np.float32), 6.0)
+    mods = []
+    x, y, z = np.meshgrid(*(np.arange(s, dtype=np.float32) for s in shape),
+                          indexing="ij")
+    blob = np.exp(-(((x - shape[0] / 2) ** 2 + (y - shape[1] / 2) ** 2
+                     + (z - shape[2] / 2) ** 2) / (2 * 18.0 ** 2)))
+    for m in range(4):
+        v = base * 40.0 + 100.0 + blob * (80.0 + 20.0 * m)
+        v[:30] = 0.0
+        v[-30:] = 0.0  # background margin so the brain crop is non-trivial
+        mods.append(v.astype(np.float32))
+    return mods
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-g", "--gnn_weights", required=True, type=str)
+    p.add_argument("-c", "--cnn_weights", required=True, type=str)
+    p.add_argument("-n", "--num_nodes", default=15000, type=int)
+    p.add_argument("--precision", default="fast", choices=("exact", "fast"))
+    p.add_argument("--slic_impl", default="auto",
+                   choices=("auto", "native", "numpy", "tpu"))
+    p.add_argument("--cnn_prep", default="device", choices=("device", "host"))
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from ..runtime import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    from ..ops.pallas.precision import set_precision_mode
+
+    set_precision_mode(args.precision)
+    from ..data import nifti
+    from .common import (load_cnn_from_checkpoint, load_gnn_from_checkpoint,
+                         resolve_slic_fn)
+    from .predict_single import predict_single_mri
+
+    _, _, _, gnn_fwd = load_gnn_from_checkpoint(
+        os.path.expanduser(args.gnn_weights))
+    _, _, _, cnn_fwd = load_cnn_from_checkpoint(
+        os.path.expanduser(args.cnn_weights))
+    with tempfile.TemporaryDirectory(prefix="gts_warmup_") as tmp:
+        for name, vol in zip(("flair", "t1", "t1ce", "t2"),
+                             make_synthetic_brain()):
+            nifti.save_as_nifti(vol, os.path.join(tmp, f"w_{name}.nii.gz"))
+        t0 = time.perf_counter()
+        pred = predict_single_mri(
+            tmp, gnn_fwd, cnn_fwd, num_nodes=args.num_nodes,
+            slic_fn=resolve_slic_fn(args.slic_impl), cnn_prep=args.cnn_prep)
+        dt = time.perf_counter() - t0
+    n_entries = len(os.listdir(cache_dir))
+    print(f"Warmup predict ran in {dt:.1f}s (shape {pred.shape}); "
+          f"persistent cache at {cache_dir} now holds {n_entries} programs")
+
+
+if __name__ == "__main__":
+    main()

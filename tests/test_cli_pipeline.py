@@ -142,6 +142,33 @@ def test_device_cnn_prep_matches_host(workdir, mode):
             "cnn_crop_shape"} <= set(dev_times)
 
 
+def test_warmup_cli_populates_cache(workdir, tmp_path, monkeypatch, capsys):
+    """cli.warmup drives the real predict chain and fills the persistent
+    compilation cache (the Dockerfile bakes this into the image)."""
+    from gnn_tumor_seg_tpu.cli import warmup
+
+    from gnn_tumor_seg_tpu.ops.pallas.precision import set_precision_mode
+
+    orig_make = warmup.make_synthetic_brain
+    monkeypatch.setenv("GTS_XLA_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.setattr(warmup, "make_synthetic_brain",
+                        lambda **kw: orig_make(shape=(64, 64, 40)))
+    try:
+        warmup.main([
+            "-g", str(workdir / "logs" / "pipe_gnn_f1.ckpt"),
+            "-c", str(workdir / "logs" / "pipe_cnn_f1.ckpt"),
+            "-n", "200",
+        ])
+    finally:
+        set_precision_mode(None)  # warmup sets the process-global mode
+    out = capsys.readouterr().out
+    assert "persistent cache" in out
+    # cache-entry presence is compile-time-gated (>=1 s), so on the fast CPU
+    # backend the dir may legitimately stay empty — existence is enough here;
+    # the real-TPU cache behavior is covered by BASELINE/CLAUDE notes
+    assert os.path.isdir(tmp_path / "cache")
+
+
 def test_bad_save_format_rejected(workdir):
     with pytest.raises(ValueError):
         generate_gnn_predictions.save_predictions(None, None, None, "bogus")
