@@ -28,9 +28,14 @@ ENV PYTHONPATH=/app
 
 # bake a hot XLA persistent cache: pre-compiles the serve-path programs
 # (GNN forward, SLIC device program, gather/bbox, CNN at the warmup bucket)
-# so per-request cold start pays no avoidable compiles
+# so per-request cold start pays no avoidable compiles.
+# NOTE: the persistent cache is keyed per platform/config — entries baked here
+# with this image's jax[cpu] only hit on CPU serve hosts. On a TPU serve host,
+# run the same warmup command ONCE on that machine after deploy (the cache is
+# per-machine, so it is a one-time cost, not per-request); `|| true` keeps
+# image builds alive where warmup cannot run.
 RUN python -m gnn_tumor_seg_tpu.cli.warmup \
-        -g /app/weights/gnn.ckpt -c /app/weights/cnn.ckpt
+        -g /app/weights/gnn.ckpt -c /app/weights/cnn.ckpt || true
 ENTRYPOINT ["python", "-m", "gnn_tumor_seg_tpu.cli.predict_single", \
             "-i", "/input", "-o", "/output", \
             "-g", "/app/weights/gnn.ckpt", "-c", "/app/weights/cnn.ckpt"]

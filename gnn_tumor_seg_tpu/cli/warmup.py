@@ -7,15 +7,20 @@ a remote-compile TPU), and the persistent compilation cache
 (`runtime.enable_compilation_cache`) is keyed per machine, so running this
 once at image build / host deploy moves those compiles out of request latency:
 it drives the real `predict_single_mri` chain on a synthetic BraTS-shaped
-brain, populating the cache with the GNN forward, the SLIC device program
-(one program for ALL brain-crop shapes — traced grid dims), the voxel-gather
-/ bbox and crop-combine programs, and the CNN at the synthetic tumor's crop
-bucket. CNN crop buckets are 16-voxel-quantized per axis, so real MRIs whose
-tumor crop lands in a different bucket pay one residual CNN compile; all
-other programs are shape-stable.
+brain, populating the cache with the GNN forward, the device preprocessing +
+SLIC programs (one program for ALL brain-crop shapes — traced grid dims over
+a fixed pad), the voxel-gather/bbox and crop-combine programs (also
+fixed-pad: cli/common.py pads the partition/image to BRATS_RAW_SHAPE, so
+every real crop shape shares the warmed compile), and the CNN at the
+synthetic tumor's crop bucket. Residual per-request compiles after warmup:
+the CNN when a real tumor crop lands in a different 16-voxel bucket, and the
+GNN when the node count lands in a different node bucket — everything else
+is shape-stable by construction.
 
 Run:  python -m gnn_tumor_seg_tpu.cli.warmup -g gnn.ckpt -c cnn.ckpt
-(The Dockerfile runs this at build time so the image ships a hot cache.)
+(The Dockerfile runs this at build time; the cache is platform/config-keyed,
+so TPU serve hosts must run it once on the target machine — baked CPU
+entries do not hit there.)
 """
 
 from __future__ import annotations
@@ -59,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--slic_impl", default="auto",
                    choices=("auto", "native", "numpy", "tpu"))
     p.add_argument("--cnn_prep", default="device", choices=("device", "host"))
+    p.add_argument("--prep_impl", default="auto",
+                   choices=("auto", "host", "device"),
+                   help="'device' warms the single-upload device-preprocess "
+                        "path; 'auto' = device when --slic_impl tpu")
     return p
 
 
@@ -83,14 +92,47 @@ def main(argv=None) -> None:
         for name, vol in zip(("flair", "t1", "t1ce", "t2"),
                              make_synthetic_brain()):
             nifti.save_as_nifti(vol, os.path.join(tmp, f"w_{name}.nii.gz"))
+        prep_impl = args.prep_impl
+        if prep_impl == "auto":
+            prep_impl = "device" if args.slic_impl == "tpu" else "host"
         t0 = time.perf_counter()
         pred = predict_single_mri(
             tmp, gnn_fwd, cnn_fwd, num_nodes=args.num_nodes,
-            slic_fn=resolve_slic_fn(args.slic_impl), cnn_prep=args.cnn_prep)
+            slic_fn=resolve_slic_fn(args.slic_impl), cnn_prep=args.cnn_prep,
+            prep_impl=prep_impl)
         dt = time.perf_counter() - t0
+    if prep_impl == "device":
+        _prime_upload_buckets()
     n_entries = len(os.listdir(cache_dir))
     print(f"Warmup predict ran in {dt:.1f}s (shape {pred.shape}); "
           f"persistent cache at {cache_dir} now holds {n_entries} programs")
+
+
+def _prime_upload_buckets(channels: int = 4) -> None:
+    """Compile `_unflatten_t` for every flat-upload voxel bucket (int16 wire,
+    the real-BraTS case): real brain crops land in different buckets than the
+    warmup synthetic, and each bucket is one small program — priming all of
+    them here keeps request latency free of residual compiles."""
+    import jax.numpy as jnp
+
+    from ..cli.common import default_pad_shape
+    from ..ops import slic_tpu
+
+    ps = default_pad_shape()
+    if ps is None:
+        return
+    Xp, Yp, Zp = ps
+    wa = jnp.asarray(np.ones(Xp, np.float32))
+    wb = jnp.asarray(np.ones(Zp, np.float32))
+    wd = jnp.asarray(np.ones(Yp, np.float32))
+    n_buckets = -(-(Xp * Yp * Zp) // slic_tpu.VOX_BUCKET)
+    assign = jnp.zeros((Xp, Zp, Yp), jnp.int16)
+    for i in range(1, n_buckets + 1):
+        flat = jnp.zeros((i * slic_tpu.VOX_BUCKET, channels), jnp.int16)
+        slic_tpu._unflatten_t(flat, jnp.int32(Yp), jnp.int32(Zp), wa, wb, wd)
+        slic_tpu._flatten_labels_t(assign, jnp.int32(Yp), jnp.int32(Zp),
+                                   vb=i * slic_tpu.VOX_BUCKET)
+    print(f"Primed {n_buckets} flat-upload/label-pull bucket programs")
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ import numpy as np
 from .slic import slic_supervoxels
 
 __all__ = [
-    "GraphSample", "build_graph_sample",
+    "GraphSample", "build_graph_sample", "sample_from_partition",
     "segment_quantiles", "segment_mode", "segment_centroids",
     "discard_empty_supervoxels", "knn_adjacency_edges", "contiguity_edges",
     "QUANTILES",
@@ -43,6 +43,10 @@ class GraphSample:
     dst: np.ndarray            # int32 [E]
     sv_partition: np.ndarray   # int16 volume, -1 = background
     edge_weights: np.ndarray | None = None  # f32 [E], aligned with src/dst
+    # raw SLIC label -> node id (-1 = discarded background supervoxel); lets
+    # the serve path ship the raw partition to the device before the
+    # renumbering is known and apply the remap there (cli/common.py)
+    sv_remap: np.ndarray | None = None      # int32 [n_sv_raw]
 
     @property
     def n_nodes(self) -> int:
@@ -120,7 +124,7 @@ def discard_empty_supervoxels(sv: np.ndarray, feats: np.ndarray,
     remap = np.full(len(feats), -1, np.int32)
     remap[~empty] = np.arange(int((~empty).sum()), dtype=np.int32)
     new_partition = remap[sv].astype(np.int16)
-    return new_partition, feats[~empty], centroids[~empty], labels[~empty]
+    return new_partition, feats[~empty], centroids[~empty], labels[~empty], remap
 
 
 def intensity_edge_weights(feats: np.ndarray, src: np.ndarray,
@@ -225,11 +229,35 @@ def build_graph_sample(
     reference's weighted-adjacency option, `graphgen.py:142-150`, which its
     pipeline computes but never passes — img2graph hardcodes weighted=False).
     """
-    labels_provided = voxel_labels is not None
     multi = voxel_intensities.ndim == 4
     img = voxel_intensities if multi else voxel_intensities[..., None]
     slic_fn = slic_fn or slic_supervoxels
     sv = slic_fn(img, n_segments=approx_num_nodes, compactness=boxiness, sigma=1.0)
+    return sample_from_partition(img, voxel_labels, sv, k, weighted=weighted)
+
+
+def sample_from_partition(
+    img: np.ndarray,
+    voxel_labels: np.ndarray | None,
+    sv: np.ndarray,
+    k: int | None,
+    weighted: bool = False,
+    feat_affine: tuple[np.ndarray, np.ndarray] | None = None,
+) -> GraphSample:
+    """Partition -> GraphSample: segment stats, background discard, adjacency.
+
+    The tail of `build_graph_sample` (reference `graphgen.py:29-32,240-267`
+    after SLIC), exposed so a caller that already holds a final supervoxel
+    partition (e.g. the device-SLIC serve path) can finish graph construction.
+
+    feat_affine=(a[C], b[C]) maps per-modality quantile features y = a_c*q + b_c
+    after computing them on `img`. Quantiles with linear interpolation commute
+    with positive affine maps, so passing the RAW image plus the
+    normalize/standardize affine (a = 1/(q995*std), b = -mean/std) yields the
+    standardized-space features without materializing a standardized volume on
+    the host — the device-preprocess serve path's contract
+    (ops/slic_tpu.serve_preprocess_tpu)."""
+    labels_provided = voxel_labels is not None
     n_sv = int(sv.max()) + 1
     if not labels_provided:
         voxel_labels = np.zeros(img.shape[:3], np.int16)
@@ -256,7 +284,15 @@ def build_graph_sample(
         sv_labels = segment_mode(voxel_labels.reshape(-1), flat_sv, n_sv, n_classes)
         sv_centroids = segment_centroids(sv.shape, flat_sv, n_sv)
 
-    partition, feats, centroids, labels = discard_empty_supervoxels(
+    if feat_affine is not None:
+        a, b = feat_affine
+        nq = len(QUANTILES)
+        feats = feats.astype(np.float32)
+        for c in range(img.shape[-1]):
+            feats[:, c * nq:(c + 1) * nq] *= np.float32(a[c])
+            feats[:, c * nq:(c + 1) * nq] += np.float32(b[c])
+
+    partition, feats, centroids, labels, sv_remap = discard_empty_supervoxels(
         sv, feats, sv_centroids, sv_labels
     )
     n_nodes = feats.shape[0]
@@ -274,4 +310,5 @@ def build_graph_sample(
         src=src, dst=dst,
         sv_partition=partition,
         edge_weights=edge_weights,
+        sv_remap=sv_remap,
     )

@@ -201,20 +201,43 @@ def read_in_patient_sample(scan_dir: str, modality_exts: list[str]) -> np.ndarra
 
     Modalities decode in parallel threads: zlib releases the GIL, so the four
     per-brain gzip decodes (the preprocess hotspot) overlap."""
-    paths = []
+    by_ext = {ext: [] for ext in modality_exts}
     for root, _, files in os.walk(scan_dir):
         for ext in modality_exts:
             for filename in files:
                 if filename.endswith(ext):
-                    paths.append(os.path.join(root, filename))
-    assert len(paths) == len(modality_exts), (
-        f"expected {len(modality_exts)} modalities in {scan_dir}, "
-        f"found {len(paths)}"
-    )
+                    by_ext[ext].append(os.path.join(root, filename))
+    missing = [ext for ext, hits in by_ext.items() if not hits]
+    if missing:
+        raise FileNotFoundError(
+            f"missing modality file(s) {missing} in {scan_dir} "
+            f"(found: {sorted(os.path.basename(p) for hits in by_ext.values() for p in hits)})")
+    dupes = {ext: [os.path.basename(p) for p in hits]
+             for ext, hits in by_ext.items() if len(hits) > 1}
+    if dupes:
+        raise ValueError(
+            f"ambiguous modality file(s) in {scan_dir}: {dupes} — exactly one "
+            f"file per modality extension is required")
+    paths = [by_ext[ext][0] for ext in modality_exts]
+
+    def read_with_context(p):
+        # raise-with-context on unreadable artifacts, the reference's serve
+        # behavior (`generate_joint_predictions.py:47-51`)
+        try:
+            return read_nifti(p, np.float32)
+        except Exception as exc:
+            raise RuntimeError(f"failed to read modality volume {p}: "
+                               f"{exc}") from exc
+
     if len(paths) == 1:
-        return read_nifti(paths[0], np.float32)
+        return read_with_context(paths[0])
     with concurrent.futures.ThreadPoolExecutor(len(paths)) as ex:
-        modality_imgs = list(ex.map(lambda p: read_nifti(p, np.float32), paths))
+        modality_imgs = list(ex.map(read_with_context, paths))
+    shapes = {img.shape for img in modality_imgs}
+    if len(shapes) > 1:
+        raise ValueError(
+            f"modality volumes in {scan_dir} have mismatched shapes {shapes} "
+            f"— all modalities must be co-registered to one grid")
     return np.stack(modality_imgs, 3)
 
 

@@ -28,6 +28,16 @@ ops under a single jit, designed TPU-first:
     dimension is the largest axis (BraTS Y=240 -> minimal lane padding; Z=155
     would waste 1.65x on every pass).
 
+`serve_preprocess_tpu` extends the device program chain upstream for the
+single-MRI serve path: the RAW cropped volume is uploaded once, the
+0.995-quantile per-modality normalization (exact order statistics via 32
+bisection steps on the monotonic f32 bit pattern — no device sort) and
+mean/std standardization run on device (`_order_stats_t` + `_affine_t`,
+bit-identical to the host `normalize_img`/`standardize_img` chain), and the
+standardized volume stays DEVICE-RESIDENT for the downstream CNN stage
+(cli/common.py gathers its image channels straight from it — zero
+per-request image upload).
+
 Gaussian pre-smoothing runs either host-side (scipy, shared with the
 canonical path) or ON DEVICE (`smooth_impl="device"`): each axis's separable
 1-D reflect-boundary convolution is expressed as a banded [Ap, Ap] matrix
@@ -56,7 +66,8 @@ from scipy import ndimage
 from ..data.slic import (_cell_of, _enforce_connectivity, _init_grid,
                          _relabel_contiguous)
 
-__all__ = ["slic_supervoxels_tpu", "slic_assign_tpu"]
+__all__ = ["slic_supervoxels_tpu", "slic_assign_tpu", "serve_preprocess_tpu",
+           "finalize_labels"]
 
 _OFFSETS = tuple(
     (dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
@@ -106,6 +117,103 @@ def _gauss_smooth_t(img, na, nb, nd, w, taps: int):
     x = jnp.einsum("cabd,xb->caxd", x, band(B, nb), precision=hi)
     x = jnp.einsum("cabd,xd->cabx", x, band(D, nd), precision=hi)
     return x
+
+
+@jax.jit
+def _order_stats_t(img, wa, wb, wd, k_lo, k_hi):
+    """Per-channel k_lo-th and k_hi-th order statistics of a padded
+    [C, A, B, D] volume over the TRUE voxels (pads excluded via the axis
+    weight masks), by bisection on the monotonic bit pattern of the f32
+    values — 32 masked count-reductions instead of a device sort. Feeds the
+    serve-path 0.995-quantile (the host reference is
+    `data/image.py:_fast_quantile_per_channel`, matching
+    `image_processing.py:45-51`); interpolation between the two order
+    statistics happens host-side in f64 so q is bit-identical to numpy's.
+
+    Returns vals [C, 2] f32."""
+    C, A, B, D = img.shape
+    x = img.astype(jnp.float32)
+    # monotonic uint32 key: negative floats -> ~bits, non-negative -> bits|MSB
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    key = jnp.where(b < 0, ~b, b | jnp.int32(-(2 ** 31))).astype(jnp.uint32)
+    mask = (wa[:, None, None] * wb[None, :, None] * wd[None, None, :]) > 0
+    targets = jnp.stack([k_lo, k_hi]).astype(jnp.int32) + 1   # count >= rank+1
+
+    def body(_, carry):
+        lo, hi = carry                                  # [C, 2] uint32
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum(
+            (key[:, None] <= mid[:, :, None, None, None]) & mask[None, None],
+            axis=(2, 3, 4), dtype=jnp.int32)            # [C, 2]
+        hit = cnt >= targets[None, :]
+        return jnp.where(hit, lo, mid + 1), jnp.where(hit, mid, hi)
+
+    lo0 = jnp.zeros((C, 2), jnp.uint32)
+    hi0 = jnp.full((C, 2), jnp.uint32(0xFFFFFFFF))
+    _, found = jax.lax.fori_loop(0, 32, body, (lo0, hi0))   # [C, 2] keys
+    fb = jnp.where(found >= jnp.uint32(2 ** 31),
+                   (found & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32),
+                   ~found.astype(jnp.int32))
+    return jax.lax.bitcast_convert_type(fb, jnp.float32)    # [C, 2]
+
+
+@jax.jit
+def _unflatten_t(flat, ny, nz, wa, wb, wd):
+    """Bucketed flat upload -> padded transposed volume.
+
+    flat [VB, C] holds the CROPPED volume's voxels in natural (X, Y, Z, C)
+    C-order, zero-padded to a voxel-count bucket: the host ships only real
+    bytes (a BraTS brain crop is ~45% of the fixed 240x240x155 frame, and the
+    serve relay runs at ~30-50 MB/s, so not shipping pad zeros saves ~1 s).
+    Rebuilds [C, Xp, Zp, Yp] f32 with zero pads via one row gather
+    (v = a*ny*nz + d*nz + b in the transposed (a, b, d) = (X, Z, Y) frame);
+    ny/nz are traced so one compile serves every crop within a bucket."""
+    Xp, Zp, Yp = wa.shape[0], wb.shape[0], wd.shape[0]
+    a = jnp.arange(Xp, dtype=jnp.int32)[:, None, None]
+    b = jnp.arange(Zp, dtype=jnp.int32)[None, :, None]
+    d = jnp.arange(Yp, dtype=jnp.int32)[None, None, :]
+    valid = (wa[:, None, None] * wb[None, :, None] * wd[None, None, :]) > 0
+    idx = jnp.where(valid, a * (ny * nz) + d * nz + b, 0)
+    vox = flat[idx].astype(jnp.float32)           # [Xp, Zp, Yp, C]
+    vox = vox * valid[..., None]
+    return jnp.moveaxis(vox, -1, 0)               # [C, Xp, Zp, Yp]
+
+
+#: voxel-count bucket for the flat serve upload: bounds the distinct
+#: _unflatten_t input shapes to <=9 over the whole BraTS range (the warmup
+#: CLI primes them all; residual overhead <=1M voxels' bytes per request)
+VOX_BUCKET = 1 << 20
+
+
+@partial(jax.jit, static_argnames=("vb",))
+def _flatten_labels_t(assign, ny, nz, vb: int):
+    """Inverse of _unflatten_t for the label pull: gather only the TRUE
+    voxels of the padded transposed assignment into a bucketed flat vector in
+    natural (X, Y, Z) C-order, so the D2H ships ~42% fewer bytes and the host
+    reshape is free (no transpose copy). Indices past the true count read
+    clamped garbage the host slices off."""
+    Xp, Zp, Yp = assign.shape
+    v = jnp.arange(vb, dtype=jnp.int32)
+    x = v // (ny * nz)
+    r = v % (ny * nz)
+    y = r // nz
+    z = r % nz
+    lin = (jnp.clip(x, 0, Xp - 1) * Zp + jnp.clip(z, 0, Zp - 1)) * Yp \
+        + jnp.clip(y, 0, Yp - 1)
+    return assign.reshape(-1)[lin]
+
+
+@jax.jit
+def _affine_t(img, wa, wb, wd, q, mean, std):
+    """((x / q) - mean) / std per channel with pads forced to exactly 0 —
+    the device `normalize_img` -> `standardize_img` chain
+    (`image_processing.py:45-56` semantics, same operation order so exact-mode
+    outputs are bit-identical to the host path)."""
+    x = img.astype(jnp.float32)
+    mask = (wa[:, None, None] * wb[None, :, None] * wd[None, None, :]) > 0
+    out = (x / q[:, None, None, None] - mean[:, None, None, None]) \
+        / std[:, None, None, None]
+    return jnp.where(mask[None], out, 0.0)
 
 
 @partial(jax.jit, static_argnames=("gmax_a", "gmax_b", "gmax_d", "max_iter"))
@@ -251,52 +359,13 @@ def _slic_iterate(
     return assign
 
 
-def slic_assign_tpu(
-    image_smoothed: np.ndarray,
-    n_segments: int,
-    compactness: float,
-    max_iter: int = 10,
-    pad_shape: tuple[int, int, int] | None = None,
-    input_dtype=np.float32,
-    smooth_sigma: float | None = None,
-) -> np.ndarray:
-    """Blockwise SLIC assignment on the default JAX device.
-
-    image_smoothed: (X, Y, Z, C) f32, already Gaussian-smoothed — unless
-    smooth_sigma is given, in which case the volume is RAW and the separable
-    Gaussian runs on device (`_gauss_smooth_t`) right after upload. Returns raw
-    center-id labels (X, Y, Z) int32 in the numpy path's cell numbering
-    (pre connectivity / relabel). pad_shape pads every axis up to a fixed
-    size so one compile serves all crops; grid dims are traced (see module
-    docstring). input_dtype=np.bfloat16-like halves the H2D upload (the
-    arithmetic stays f32 on device).
-    """
-    X, Y, Z, C = image_smoothed.shape
+def _assign_core(img_dev, X: int, Y: int, Z: int, n_segments: int,
+                 compactness: float, max_iter: int):
+    """SLIC assignment on a device-resident padded [C, Xp, Zp, Yp] volume
+    (smoothed, standardized, zero pads). Returns (padded device assignment
+    [Xp, Zp, Yp] int16/int32 in numpy cell numbering, step)."""
+    _, Xp, Zp, Yp = img_dev.shape
     (gx, gy, gz), step = _init_grid((X, Y, Z), n_segments)
-
-    if pad_shape is None:
-        Xp, Yp, Zp = X, Y, Z
-    else:
-        Xp, Yp, Zp = pad_shape
-        if Xp < X or Yp < Y or Zp < Z:
-            raise ValueError(f"pad_shape {pad_shape} smaller than volume "
-                             f"{(X, Y, Z)}")
-
-    # transposed frame (a, b, d) = (X, Z, Y): largest axis on lanes
-    img_t = np.zeros((C, Xp, Zp, Yp), np.float32)
-    img_t[:, :X, :Z, :Y] = np.ascontiguousarray(
-        image_smoothed.transpose(3, 0, 2, 1)
-    )
-    if np.dtype(input_dtype) != np.float32:
-        # quantize host-side, ship the narrow buffer, widen on device
-        img_dev = jnp.asarray(img_t.astype(input_dtype)).astype(jnp.float32)
-    else:
-        img_dev = jnp.asarray(img_t)
-    if smooth_sigma is not None and smooth_sigma > 0:
-        w = _gauss_kernel1d(smooth_sigma)
-        # transposed frame: true extents along (a, b, d) are (X, Z, Y)
-        img_dev = _gauss_smooth_t(img_dev, jnp.int32(X), jnp.int32(Z),
-                                  jnp.int32(Y), jnp.asarray(w), taps=len(w))
 
     ca = _cell_of(np.arange(Xp), X, gx)   # clamps pad coords to the last cell
     cb = _cell_of(np.arange(Zp), Z, gz)
@@ -322,6 +391,176 @@ def slic_assign_tpu(
     )
     if gx * gy * gz <= np.iinfo(np.int16).max:
         assign = assign.astype(jnp.int16)  # halve the D2H pull
+    return assign, step
+
+
+def _check_smooth_extent(dims, sigma: float) -> None:
+    """The device Gaussian applies one reflection per side; extents smaller
+    than the kernel radius would silently under-weight edge rows (the
+    reflected index can stay out of range and one_hot zeros it). Brains are
+    far above this; raise loudly for degenerate inputs."""
+    r = int(4.0 * float(sigma) + 0.5)
+    if min(int(d) for d in dims) <= r:
+        raise ValueError(
+            f"volume extent {tuple(dims)} too small for device Gaussian "
+            f"smoothing with sigma={sigma} (radius {r}); smooth on host "
+            f"(smooth_impl='host') or use a larger volume")
+
+
+def serve_preprocess_tpu(
+    image_raw: np.ndarray,
+    n_segments: int,
+    compactness: float,
+    mean,
+    std,
+    sigma: float = 1.0,
+    quantile: float = 0.995,
+    max_iter: int = 10,
+    pad_shape: tuple[int, int, int] | None = None,
+    input_dtype=np.float32,
+):
+    """Single-upload serve preprocessing: raw cropped volume in, quantile
+    normalization + standardization + Gaussian smoothing + SLIC assignment all
+    on device, standardized volume left RESIDENT on device for the downstream
+    CNN stage.
+
+    Replaces the serve chain's host `normalize_img`/`standardize_img`
+    (reference `generate_joint_predictions.py:59-73` preprocessing via
+    `image_processing.py:45-56`) and the separate host->device image upload of
+    the CNN stage: the volume crosses the relay ONCE (bf16 under fast
+    precision).
+
+    image_raw: (X, Y, Z, C) raw cropped intensities (pre-normalization).
+    Returns (labels (X,Y,Z) int32 raw assignment — run `finalize_labels` for
+    connectivity/relabel; dev_std device [C, Xp, Zp, Yp] f32 standardized
+    volume with zero pads in the transposed (X, Z, Y) frame; q np [C]
+    per-channel normalization quantiles; step)."""
+    image_raw = np.asarray(image_raw, np.float32)
+    if image_raw.ndim == 3:
+        image_raw = image_raw[..., None]
+    X, Y, Z, C = image_raw.shape
+    if sigma > 0:
+        _check_smooth_extent((X, Y, Z), sigma)
+    if pad_shape is None:
+        Xp, Yp, Zp = X, Y, Z
+    else:
+        Xp, Yp, Zp = (max(p, s) for p, s in zip(pad_shape, (X, Y, Z)))
+
+    # wire format: prefer EXACT int16 when the raw data is integral (BraTS
+    # sources are int16 NIfTIs) — same bytes as the bf16 fast-mode wire with
+    # zero quantization, and half the exact-mode f32 wire
+    wire = np.dtype(input_dtype)
+    staged = image_raw
+    if image_raw.size and float(np.abs(image_raw).max()) < np.iinfo(np.int16).max:
+        i16 = image_raw.astype(np.int16)
+        if np.array_equal(i16, image_raw):
+            wire, staged = np.dtype(np.int16), i16
+    # flat bucketed upload: ship only the cropped volume's real bytes; the
+    # device rebuilds the padded transposed frame (_unflatten_t)
+    V = X * Y * Z
+    VB = -(-V // VOX_BUCKET) * VOX_BUCKET
+    buf = np.zeros((VB, C), wire)
+    buf[:V] = staged.reshape(V, C)
+
+    wa = jnp.asarray((np.arange(Xp) < X).astype(np.float32))
+    wb = jnp.asarray((np.arange(Zp) < Z).astype(np.float32))
+    wd = jnp.asarray((np.arange(Yp) < Y).astype(np.float32))
+    img_dev = _unflatten_t(jnp.asarray(buf), jnp.int32(Y), jnp.int32(Z),
+                           wa, wb, wd)
+    # order-statistic positions in f64 on host (m is known exactly here)
+    m = X * Y * Z
+    pos = (m - 1) * float(quantile)
+    k_lo, k_hi = int(np.floor(pos)), int(np.ceil(pos))
+    frac = pos - k_lo
+    vals = np.asarray(_order_stats_t(img_dev, wa, wb, wd,
+                                     jnp.int32(k_lo), jnp.int32(k_hi)))
+    # f32 interpolation with weak-promoted python-float weights — exactly
+    # what _fast_quantile_per_channel computes under NumPy 2, so q is
+    # bit-identical to the host path's
+    q = vals[:, 0] * (1 - frac) + vals[:, 1] * frac
+    dev_std = _affine_t(img_dev, wa, wb, wd, jnp.asarray(q),
+                        jnp.asarray(mean, jnp.float32),
+                        jnp.asarray(std, jnp.float32))
+    smoothed = dev_std
+    if sigma > 0:
+        w = _gauss_kernel1d(sigma)
+        smoothed = _gauss_smooth_t(dev_std, jnp.int32(X), jnp.int32(Z),
+                                   jnp.int32(Y), jnp.asarray(w), taps=len(w))
+    assign, step = _assign_core(smoothed, X, Y, Z, n_segments, compactness,
+                                max_iter)
+    flat_lab = _flatten_labels_t(assign, jnp.int32(Y), jnp.int32(Z), vb=VB)
+    labels = np.asarray(flat_lab)[:V].astype(np.int32, copy=False)
+    labels = labels.reshape(X, Y, Z)
+    return labels, dev_std, q, step
+
+
+def finalize_labels(labels: np.ndarray, step: float,
+                    enforce_connectivity: bool = True,
+                    min_size_factor: float = 0.25) -> np.ndarray:
+    """Host connectivity enforcement + contiguous relabel (shared tail of
+    every SLIC path; see data/slic.py)."""
+    if enforce_connectivity:
+        from ..data import native
+
+        if native.available():
+            # NOTE: returns the fixed array (does not mutate its argument)
+            labels = native.enforce_connectivity_native(labels)
+        else:
+            labels = _enforce_connectivity(
+                labels, min_size=int((step ** 3) * min_size_factor)
+            )
+    return _relabel_contiguous(labels)
+
+
+def slic_assign_tpu(
+    image_smoothed: np.ndarray,
+    n_segments: int,
+    compactness: float,
+    max_iter: int = 10,
+    pad_shape: tuple[int, int, int] | None = None,
+    input_dtype=np.float32,
+    smooth_sigma: float | None = None,
+) -> np.ndarray:
+    """Blockwise SLIC assignment on the default JAX device.
+
+    image_smoothed: (X, Y, Z, C) f32, already Gaussian-smoothed — unless
+    smooth_sigma is given, in which case the volume is RAW and the separable
+    Gaussian runs on device (`_gauss_smooth_t`) right after upload. Returns raw
+    center-id labels (X, Y, Z) int32 in the numpy path's cell numbering
+    (pre connectivity / relabel). pad_shape pads every axis up to a fixed
+    size so one compile serves all crops; grid dims are traced (see module
+    docstring). input_dtype=np.bfloat16-like halves the H2D upload (the
+    arithmetic stays f32 on device).
+    """
+    X, Y, Z, C = image_smoothed.shape
+
+    if pad_shape is None:
+        Xp, Yp, Zp = X, Y, Z
+    else:
+        Xp, Yp, Zp = pad_shape
+        if Xp < X or Yp < Y or Zp < Z:
+            raise ValueError(f"pad_shape {pad_shape} smaller than volume "
+                             f"{(X, Y, Z)}")
+
+    # transposed frame (a, b, d) = (X, Z, Y): largest axis on lanes
+    img_t = np.zeros((C, Xp, Zp, Yp), np.float32)
+    img_t[:, :X, :Z, :Y] = np.ascontiguousarray(
+        image_smoothed.transpose(3, 0, 2, 1)
+    )
+    if np.dtype(input_dtype) != np.float32:
+        # quantize host-side, ship the narrow buffer, widen on device
+        img_dev = jnp.asarray(img_t.astype(input_dtype)).astype(jnp.float32)
+    else:
+        img_dev = jnp.asarray(img_t)
+    if smooth_sigma is not None and smooth_sigma > 0:
+        _check_smooth_extent((X, Y, Z), smooth_sigma)
+        w = _gauss_kernel1d(smooth_sigma)
+        # transposed frame: true extents along (a, b, d) are (X, Z, Y)
+        img_dev = _gauss_smooth_t(img_dev, jnp.int32(X), jnp.int32(Z),
+                                  jnp.int32(Y), jnp.asarray(w), taps=len(w))
+
+    assign, _ = _assign_core(img_dev, X, Y, Z, n_segments, compactness,
+                             max_iter)
     out = np.asarray(assign).astype(np.int32, copy=False)[:X, :Z, :Y]
     return np.ascontiguousarray(out.transpose(0, 2, 1))  # back to (X, Y, Z)
 
@@ -367,14 +606,5 @@ def slic_supervoxels_tpu(
         pad_shape=pad_shape, input_dtype=input_dtype,
         smooth_sigma=smooth_sigma,
     )
-    if enforce_connectivity:
-        from ..data import native
-
-        if native.available():
-            # NOTE: returns the fixed array (does not mutate its argument)
-            labels = native.enforce_connectivity_native(labels)
-        else:
-            labels = _enforce_connectivity(
-                labels, min_size=int((step ** 3) * min_size_factor)
-            )
-    return _relabel_contiguous(labels)
+    return finalize_labels(labels, step, enforce_connectivity,
+                           min_size_factor)

@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--slic_impl", default="auto",
                     choices=("auto", "native", "numpy", "tpu"))
     ap.add_argument("--cnn_prep", default="device", choices=("device", "host"))
+    ap.add_argument("--prep_impl", default="auto",
+                    choices=("auto", "host", "device"),
+                    help="'device' = single-upload device preprocessing "
+                         "(quantile normalize + standardize + SLIC share one "
+                         "upload; standardized volume stays device-resident); "
+                         "'auto' = device when --slic_impl tpu")
     args = ap.parse_args()
 
     import jax
@@ -60,6 +66,9 @@ def main():
     set_precision_mode(args.precision)
     slic_fn = resolve_slic_fn(args.slic_impl)
     prep = args.cnn_prep
+    prep_impl = args.prep_impl
+    if prep_impl == "auto":
+        prep_impl = "device" if args.slic_impl == "tpu" else "host"
 
     tmp = tempfile.mkdtemp(prefix="serve_bench_")
     rng = np.random.default_rng(0)
@@ -88,22 +97,31 @@ def main():
     t0 = time.perf_counter()
     pred = predict_single_mri(in_dir, gnn_fwd, cnn_fwd,
                               num_nodes=args.num_nodes, slic_fn=slic_fn,
-                              cnn_prep=prep)
+                              cnn_prep=prep, prep_impl=prep_impl)
     cold = time.perf_counter() - t0
     assert pred.shape == (240, 240, 155), pred.shape
     print(f"[serve] cold (incl. compile): {cold:.1f}s", file=sys.stderr)
 
-    warm, stages = [], {}
+    # stage split measured on EVERY warm run; per-stage MEDIANS are reported
+    # so one relay-variance outlier cannot skew the published numbers
+    # (advisor r3 finding on the last-run-only split)
+    warm, stage_runs = [], []
     for i in range(args.runs):
-        st = {} if i == args.runs - 1 else None  # split from the last run
+        st = {}
         t0 = time.perf_counter()
         predict_single_mri(in_dir, gnn_fwd, cnn_fwd,
                            num_nodes=args.num_nodes, slic_fn=slic_fn,
-                           stage_times=st, cnn_prep=prep)
+                           stage_times=st, cnn_prep=prep, prep_impl=prep_impl)
         warm.append(time.perf_counter() - t0)
-        if st is not None:
-            stages = st
+        stage_runs.append(st)
         print(f"[serve] warm run {i}: {warm[-1]:.2f}s", file=sys.stderr)
+    stages = {}
+    for k in stage_runs[-1]:
+        vals = [r[k] for r in stage_runs if k in r]
+        if isinstance(vals[-1], float):
+            stages[k] = float(np.median(vals))
+        else:
+            stages[k] = vals[-1]
 
     detail = {
         "warm_runs_s": [round(w, 2) for w in warm],
@@ -111,6 +129,7 @@ def main():
         "precision": args.precision,
         "slic_impl": args.slic_impl,
         "cnn_prep": prep,
+        "prep_impl": prep_impl,
         "device": str(jax.devices()[0]),
     }
     for k, v in stages.items():

@@ -19,3 +19,8 @@ jax.config.update("jax_platforms", "cpu")
 
 # force the Pallas (interpret-mode) paths even on tiny test graphs
 os.environ.setdefault("GTS_PALLAS_MIN_NODES", "0")
+
+# serve-path fixed padding defaults to the BraTS raw extent (240,240,155);
+# the test volumes are ~32 voxels, so disable it globally — dedicated tests
+# exercise padding with explicit small pad shapes
+os.environ.setdefault("GTS_SERVE_PAD_SHAPE", "none")

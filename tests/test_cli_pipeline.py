@@ -172,3 +172,122 @@ def test_warmup_cli_populates_cache(workdir, tmp_path, monkeypatch, capsys):
 def test_bad_save_format_rejected(workdir):
     with pytest.raises(ValueError):
         generate_gnn_predictions.save_predictions(None, None, None, "bogus")
+
+
+@pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_device_preprocess_serve_path(workdir, mode):
+    """prep_impl='device' (single-upload device preprocessing with the
+    standardized volume resident on device, cli/predict_single.py) produces
+    the same segmentation as the all-host reference-shaped path. The
+    standardized volume / SLIC labels are bitwise-equal in exact mode
+    (test_slic_tpu.py); features go through the affine-commuted quantile map
+    (~1e-5), so final labels are compared at voxel-agreement >= 0.999."""
+    from gnn_tumor_seg_tpu.cli.common import (load_cnn_from_checkpoint,
+                                              load_gnn_from_checkpoint)
+    from gnn_tumor_seg_tpu.cli.predict_single import predict_single_mri
+    from gnn_tumor_seg_tpu.ops.pallas.precision import precision_scope
+
+    raw_case = next((workdir / "raw").iterdir())
+    _, _, _, gfwd = load_gnn_from_checkpoint(
+        str(workdir / "logs" / "pipe_gnn_f1.ckpt"))
+    _, _, _, cfwd = load_cnn_from_checkpoint(
+        str(workdir / "logs" / "pipe_cnn_f1.ckpt"))
+    with precision_scope(mode):
+        host = predict_single_mri(str(raw_case), gfwd, cfwd, num_nodes=250,
+                                  num_neighbors=6, cnn_prep="host")
+        times = {}
+        dev = predict_single_mri(str(raw_case), gfwd, cfwd, num_nodes=250,
+                                 num_neighbors=6, prep_impl="device",
+                                 pad_shape=(40, 40, 28), stage_times=times)
+    assert dev.shape == host.shape
+    # exact mode: identical preprocessing (bitwise std volume + labels), only
+    # the affine-commuted features differ (~1e-5). fast mode ships the RAW
+    # volume as bf16, so SLIC boundaries shift on these high-frequency random
+    # test volumes (real brains are smooth; BASELINE.md pins 0.9976 partition
+    # agreement at BraTS scale) — bound it loosely.
+    assert (dev == host).mean() >= (0.999 if mode == "exact" else 0.9)
+    assert {"gnn_forward", "crop_and_prep", "cnn_forward",
+            "graph_build"} <= set(times)
+
+
+def test_serve_padding_compiles_once(workdir, monkeypatch):
+    """Different brain-crop shapes share ONE compiled gather program when the
+    fixed serve pad is active (advisor r3: per-crop-shape jits would pay
+    10-60 s remote-tunnel compiles per novel MRI in the Docker contract)."""
+    from gnn_tumor_seg_tpu.cli import common
+    from gnn_tumor_seg_tpu.cli.common import (load_cnn_from_checkpoint,
+                                              load_gnn_from_checkpoint)
+    from gnn_tumor_seg_tpu.cli.predict_single import predict_single_mri
+    from gnn_tumor_seg_tpu.data import nifti
+
+    monkeypatch.setattr(common, "_voxel_gather_bbox", None)
+    monkeypatch.setattr(common, "_gather_combine", None)
+    monkeypatch.setattr(common, "_gather_combine_t", None)
+
+    # two inputs whose brain crops differ in shape
+    rng = np.random.default_rng(7)
+    for tag, margin in (("a", 2), ("b", 5)):
+        d = workdir / f"padcase_{tag}"
+        d.mkdir(exist_ok=True)
+        for m, name in enumerate(("flair", "t1", "t1ce", "t2")):
+            v = rng.integers(50, 250, SHAPE).astype(np.int16)
+            v[:margin] = 0
+            v[-margin:] = 0
+            v[:, :margin] = 0
+            v[:, :, -margin:] = 0
+            nifti.write_nifti(v, str(d / f"case_{name}.nii.gz"))
+
+    _, _, _, gfwd = load_gnn_from_checkpoint(
+        str(workdir / "logs" / "pipe_gnn_f1.ckpt"))
+    _, _, _, cfwd = load_cnn_from_checkpoint(
+        str(workdir / "logs" / "pipe_cnn_f1.ckpt"))
+    shapes = set()
+    for tag in ("a", "b"):
+        pred = predict_single_mri(str(workdir / f"padcase_{tag}"), gfwd, cfwd,
+                                  num_nodes=250, num_neighbors=6,
+                                  cnn_prep="device", pad_shape=(36, 36, 28))
+        shapes.add(pred.shape)
+    assert common._voxel_gather_bbox._cache_size() == 1
+    assert common._gather_combine._cache_size() == 1
+
+
+def test_serve_input_error_paths(workdir, tmp_path):
+    """Graceful, contextful failures for malformed serve inputs (the
+    reference's raise-with-context contract,
+    `generate_joint_predictions.py:47-51`): missing modality, duplicate
+    modality, mismatched grids, corrupt gzip."""
+    from gnn_tumor_seg_tpu.data.nifti import read_in_patient_sample
+
+    exts = ["_flair.nii.gz", "_t1.nii.gz"]
+    raw_case = next((workdir / "raw").iterdir())
+
+    # missing modality
+    d = tmp_path / "missing"
+    d.mkdir()
+    nifti.write_nifti(np.ones(SHAPE, np.int16), str(d / "case_flair.nii.gz"))
+    with pytest.raises(FileNotFoundError, match="_t1.nii.gz"):
+        read_in_patient_sample(str(d), exts)
+
+    # duplicate modality
+    d = tmp_path / "dupe"
+    d.mkdir()
+    for n in ("a_flair.nii.gz", "b_flair.nii.gz", "x_t1.nii.gz"):
+        nifti.write_nifti(np.ones(SHAPE, np.int16), str(d / n))
+    with pytest.raises(ValueError, match="ambiguous"):
+        read_in_patient_sample(str(d), exts)
+
+    # mismatched grids across modalities
+    d = tmp_path / "grid"
+    d.mkdir()
+    nifti.write_nifti(np.ones(SHAPE, np.int16), str(d / "case_flair.nii.gz"))
+    nifti.write_nifti(np.ones((16, 16, 8), np.int16), str(d / "case_t1.nii.gz"))
+    with pytest.raises(ValueError, match="mismatched shapes"):
+        read_in_patient_sample(str(d), exts)
+
+    # corrupt gzip payload -> error names the file
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    nifti.write_nifti(np.ones(SHAPE, np.int16), str(d / "case_t1.nii.gz"))
+    (d / "case_flair.nii.gz").write_bytes(b"\x1f\x8b\x08\x00garbagegarbage")
+    with pytest.raises(RuntimeError, match="case_flair"):
+        read_in_patient_sample(str(d), exts)

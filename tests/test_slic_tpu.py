@@ -173,3 +173,105 @@ def test_resolve_slic_fn_cli_mapping():
     assert _agreement(host(vol, n_segments=27, compactness=0.5), lab) >= 0.98
     with pytest.raises(ValueError):
         resolve_slic_fn("bogus")
+
+
+# ---------------------------------------------------------------- serve prep
+
+
+def test_serve_preprocess_bitwise_parity():
+    """serve_preprocess_tpu == host normalize->standardize->smooth->SLIC.
+
+    The device chain (ops/slic_tpu.py: _order_stats_t bisection quantile +
+    _affine_t + device Gaussian + assignment) must reproduce the host
+    preprocessing of `cli/predict_single.py` BIT-FOR-BIT in exact mode: same
+    q (f32-interpolated order statistics), same standardized volume, same
+    raw SLIC labels. Reference semantics: `image_processing.py:45-56` inside
+    `generate_joint_predictions.py:59-73`."""
+    from gnn_tumor_seg_tpu.data.image import (_fast_quantile_per_channel,
+                                              normalize_img, standardize_img)
+    from gnn_tumor_seg_tpu.ops.slic_tpu import serve_preprocess_tpu
+
+    rng = np.random.default_rng(3)
+    X, Y, Z, C = 40, 37, 29, 4
+    raw = rng.random((X, Y, Z, C)).astype(np.float32) * 97.0
+    raw[:5] = 0.0  # background margin
+    mean = np.array([0.4, 0.5, 0.45, 0.4], np.float32)
+    std = np.array([0.15, 0.17, 0.12, 0.16], np.float32)
+
+    labels, dev_std, q, step = serve_preprocess_tpu(
+        raw, 64, 0.5, mean, std, sigma=1.0, pad_shape=(48, 48, 32))
+
+    assert np.array_equal(q, _fast_quantile_per_channel(raw, 0.995))
+    host_std = standardize_img(normalize_img(raw), mean, std)
+    ds = np.asarray(dev_std)[:, :X, :Z, :Y].transpose(1, 3, 2, 0)
+    assert np.array_equal(ds, host_std)
+    host_labels = slic_assign_tpu(host_std, 64, 0.5,
+                                  pad_shape=(48, 48, 32), smooth_sigma=1.0)
+    assert np.array_equal(labels, host_labels)
+    # pads of the resident volume must be exactly zero (downstream gathers
+    # and the smoothing row-mask rely on it)
+    padded = np.asarray(dev_std)
+    assert np.all(padded[:, X:] == 0) and np.all(padded[:, :, Z:] == 0) \
+        and np.all(padded[:, :, :, Y:] == 0)
+
+
+def test_serve_preprocess_negative_values_and_bf16():
+    """The bitwise-order-statistic quantile must handle negative intensities
+    (sign-flipped monotonic key) and the bf16 fast-mode upload."""
+    import ml_dtypes
+
+    from gnn_tumor_seg_tpu.data.image import _fast_quantile_per_channel
+    from gnn_tumor_seg_tpu.ops.slic_tpu import serve_preprocess_tpu
+
+    rng = np.random.default_rng(4)
+    raw = (rng.random((30, 26, 22, 2)).astype(np.float32) - 0.3) * 50.0
+    mean = np.array([0.1, 0.2], np.float32)
+    std = np.array([0.5, 0.6], np.float32)
+    _, _, q, _ = serve_preprocess_tpu(raw, 27, 0.5, mean, std, sigma=0.0)
+    assert np.array_equal(q, _fast_quantile_per_channel(raw, 0.995))
+    # bf16 upload: q equals the quantile of the bf16-rounded data
+    _, _, qb, _ = serve_preprocess_tpu(raw, 27, 0.5, mean, std, sigma=0.0,
+                                       input_dtype=ml_dtypes.bfloat16)
+    rb = raw.astype(ml_dtypes.bfloat16).astype(np.float32)
+    assert np.array_equal(qb, _fast_quantile_per_channel(rb, 0.995))
+
+
+def test_smooth_extent_guard():
+    """Degenerate extents below the Gaussian radius raise instead of silently
+    under-weighting edge rows (advisor r3)."""
+    from gnn_tumor_seg_tpu.ops.slic_tpu import serve_preprocess_tpu
+
+    raw = np.ones((3, 20, 20, 1), np.float32)
+    with pytest.raises(ValueError, match="too small"):
+        serve_preprocess_tpu(raw, 8, 0.5, [0.0], [1.0], sigma=1.0)
+    with pytest.raises(ValueError, match="too small"):
+        slic_assign_tpu(np.ones((20, 3, 20, 1), np.float32), 8, 0.5,
+                        smooth_sigma=1.0)
+
+
+def test_affine_feats_match_standardized_feats():
+    """Graph features from RAW image + affine == features from the
+    standardized image (quantiles commute with positive affine maps; the
+    device-preprocess serve path relies on this)."""
+    from gnn_tumor_seg_tpu.data.graph_build import sample_from_partition
+    from gnn_tumor_seg_tpu.data.image import (_fast_quantile_per_channel,
+                                              normalize_img, standardize_img)
+
+    rng = np.random.default_rng(5)
+    raw = rng.random((24, 22, 20, 4)).astype(np.float32) * 80.0
+    raw[:4] = 0.0
+    mean = np.array([0.4, 0.5, 0.45, 0.4], np.float32)
+    std = np.array([0.15, 0.17, 0.12, 0.16], np.float32)
+    host_std = standardize_img(normalize_img(raw), mean, std)
+    sv = slic_supervoxels(host_std, n_segments=27, compactness=0.5)
+
+    ref = sample_from_partition(host_std, None, sv, k=4)
+    q = _fast_quantile_per_channel(raw, 0.995)
+    a = (1.0 / (q * std)).astype(np.float32)
+    b = (-mean / std).astype(np.float32)
+    aff = sample_from_partition(raw, None, sv, k=4, feat_affine=(a, b))
+
+    assert ref.feats.shape == aff.feats.shape
+    np.testing.assert_allclose(aff.feats, ref.feats, atol=2e-5)
+    assert np.array_equal(ref.sv_partition, aff.sv_partition)
+    assert np.array_equal(ref.src, aff.src) and np.array_equal(ref.dst, aff.dst)
