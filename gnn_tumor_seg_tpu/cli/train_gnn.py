@@ -70,6 +70,26 @@ class _SubsetView:
         return self.base.shape_budget()
 
 
+def apply_hp_overrides(hp, overrides):
+    """Apply --hp KEY=VAL overrides (Python-literal values) to a HyperParams."""
+    import ast
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(type(hp))}
+    for item in overrides:
+        key, _, val = item.partition("=")
+        key = key.strip()
+        if key not in known:
+            raise SystemExit(f"--hp: unknown HyperParams field {key!r} "
+                             f"(known: {sorted(known)})")
+        try:
+            parsed = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            parsed = val
+        hp = dataclasses.replace(hp, **{key: parsed})
+    return hp
+
+
 def document_metrics(fp: str, description: str, results,
                      coordinator: bool = True) -> None:
     """Pretty-print + progress-file row (`scripts/train_gnn.py:48-59`)."""
@@ -255,6 +275,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="k-fold validation folds; 1 = train on full dataset")
     p.add_argument("-p", "--data_prefix", default="", type=str)
     p.add_argument("-x", "--random_hyperparams", action="store_true")
+    p.add_argument("--hp", action="append", default=[], metavar="KEY=VAL",
+                   help="override a HyperParams field, e.g. --hp n_epochs=3 "
+                        "--hp 'layer_sizes=[64,64]' (values are Python "
+                        "literals; repeatable). Replaces the reference's "
+                        "edit-the-source workflow, README.md:109-115")
     p.add_argument("--profile", default=None, type=str, metavar="DIR",
                    help="capture a jax.profiler trace of training into DIR "
                         "(view with TensorBoard / xprof)")
@@ -312,6 +337,7 @@ def main(argv=None) -> None:
                                 read_graph=True, read_label=True)
     hp = (random_hyperparameters(args.model_type) if args.random_hyperparams
           else hardcoded_hyperparameters(args.model_type))
+    hp = apply_hp_overrides(hp, args.hp)
     mesh = _parse_mesh(args.mesh, args.parallel)
     args.output_dir = os.path.expanduser(args.output_dir)
     progress_fp = os.path.join(args.output_dir, f"{args.run_name}.txt")

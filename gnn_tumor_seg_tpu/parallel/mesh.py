@@ -33,8 +33,17 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
 
 def initialize_multihost(coordinator: str | None = None, num_processes: int | None = None,
                          process_id: int | None = None) -> None:
-    """Multi-host bring-up (SPMD over hosts); no-op for single-process runs."""
+    """Multi-host bring-up (SPMD over hosts); no-op for single-process runs.
+
+    On the CPU backend the cross-process collectives need an explicit
+    implementation (gloo ships with jaxlib) — that makes 2-process runs
+    testable on one machine (tests/test_multiprocess.py), the CPU-world stand-
+    in for a multi-host TPU slice."""
     if num_processes is not None and num_processes > 1:
+        import os
+
+        if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(coordinator, num_processes, process_id)
 
 

@@ -116,6 +116,12 @@ def make_global_batch(local_leaves: Any, sharding) -> Any:
         x = np.asarray(x)
         if jax.process_count() <= 1:
             return jax.device_put(x, sharding)
-        return jax.make_array_from_process_local_data(sharding, x)
+        # the global leading axis is the concatenation of every process's
+        # equal-length local slice; without the explicit global shape jax
+        # treats the LOCAL shape as global and the data-axis tiling fails
+        # (found by the real 2-process run, tests/test_multiprocess.py)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
 
     return jax.tree_util.tree_map(leaf, local_leaves)
