@@ -43,10 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="supervoxelization backend: host canonical "
                         "(auto/native/numpy) or the TPU assignment path "
                         "(ops/slic_tpu.py; one compile per dataset). For "
-                        "bulk preprocessing the host default is FASTER "
-                        "(threads overlap samples across cores; the single "
-                        "device serializes) — 'tpu' wins for single-sample "
-                        "latency, see BASELINE.md")
+                        "bulk preprocessing see also --prep_impl")
+    p.add_argument("--prep_impl", default="auto",
+                   choices=("auto", "host", "device"),
+                   help="'device' runs normalize+standardize+smooth+SLIC as "
+                        "one device chain per sample (flat int16 upload, "
+                        "ops/slic_tpu.serve_preprocess_tpu) with host "
+                        "stats/kNN/writes overlapping across the thread "
+                        "pool; 'auto' = device when --slic_impl tpu")
     return p
 
 
@@ -54,6 +58,9 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from .common import resolve_slic_fn
 
+    prep_impl = args.prep_impl
+    if prep_impl == "auto":
+        prep_impl = "device" if args.slic_impl == "tpu" else "host"
     pre = DataPreprocessor(
         data_dir=args.data_dir,
         output_dir=args.output_dir,
@@ -67,6 +74,7 @@ def main(argv=None) -> None:
         n_threads=args.threads,
         weighted=args.weighted,
         slic_fn=resolve_slic_fn(args.slic_impl),
+        prep_impl=prep_impl,
     )
     pre.run()
     print(f"Finished preprocessing data from {args.data_dir}.")

@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-k", "--num_folds", default=5, type=int)
     p.add_argument("-p", "--data_prefix", default="", type=str)
     p.add_argument("-x", "--random_hyperparams", action="store_true")
+    p.add_argument("--hp", action="append", default=[], metavar="KEY=VAL",
+                   help="override a HyperParams field (Python-literal "
+                        "values; repeatable) — see cli.train_gnn")
     return p
 
 
@@ -93,6 +96,9 @@ def main(argv=None) -> None:
     logit_dataset = PredLogitDataset(os.path.expanduser(args.saved_logit_dir))
     hp = (random_hyperparameters("CNN") if args.random_hyperparams
           else hardcoded_hyperparameters("CNN"))
+    from .train_gnn import apply_hp_overrides
+
+    hp = apply_hp_overrides(hp, args.hp)
     args.output_dir = os.path.expanduser(args.output_dir)
     progress_fp = os.path.join(args.output_dir, f"{args.run_name}.txt")
     folds.create_run_progress_file(progress_fp, "CNN", hp)

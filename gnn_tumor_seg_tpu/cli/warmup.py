@@ -109,10 +109,13 @@ def main(argv=None) -> None:
 
 
 def _prime_upload_buckets(channels: int = 4) -> None:
-    """Compile `_unflatten_t` for every flat-upload voxel bucket (int16 wire,
-    the real-BraTS case): real brain crops land in different buckets than the
-    warmup synthetic, and each bucket is one small program — priming all of
-    them here keeps request latency free of residual compiles."""
+    """Compile `_unflatten_t`/`_flatten_labels_t` for every flat-upload voxel
+    bucket (int16 wire, the real-BraTS case): real brain crops land in
+    different buckets than the warmup synthetic, and each bucket is one small
+    program — priming all of them here keeps request latency free of residual
+    compiles. (Non-integral source data takes the bf16/f32 wire instead and
+    pays one small compile on its first bucket — rare enough that priming all
+    dtype variants here is not worth the extra deploy-time compiles.)"""
     import jax.numpy as jnp
 
     from ..cli.common import default_pad_shape

@@ -122,6 +122,10 @@ def random_hyperparameters(model_type: str, seed: int | None = None) -> HyperPar
                            float(rng.normal(2, 0.2)), float(rng.normal(2, 0.2))],
             layer_sizes=[width] * n_layers,
         )
+    # drawn unconditionally ON PURPOSE: the reference consumes these RNG
+    # values for every model type (`hyperparam_helpers.py:64-69`), and the
+    # seeded draw sequence is part of the sweep-reproducibility contract —
+    # skipping them for SAGE models would shift every later draw
     heads = (rng.randint(4, size=len(hp.layer_sizes)) + 3).tolist()
     residuals = [bool(x) for x in rng.binomial(1, p=0.3, size=len(hp.layer_sizes))]
     if model_type == "GAT":

@@ -43,7 +43,10 @@ class DataPreprocessor:
                  modality_extensions=None, label_extension: str | None = None,
                  standardization_stats=STANDARDIZATION_STATS,
                  save_json: bool = False, n_threads: int = N_THREADS,
-                 slic_fn=None, weighted: bool = False):
+                 slic_fn=None, weighted: bool = False,
+                 prep_impl: str = "host", pad_shape="default"):
+        self.prep_impl = prep_impl
+        self.pad_shape = pad_shape
         self.num_nodes = num_nodes
         self.num_neighbors = num_neighbors or None   # 0 -> contiguity mode
         self.boxiness = boxiness
@@ -128,12 +131,70 @@ class DataPreprocessor:
         cropped /= self.dataset_std
         return cropped, labels, crop, image.shape[:3]
 
+    def get_raw_cropped(self, scan_dir: str):
+        """Raw (pre-normalization) cropped volume + labels, for the device
+        preprocessing path."""
+        image = nifti.read_in_patient_sample(scan_dir, self.modality_extensions)
+        crop = determine_brain_crop(image)
+        cropped = np.ascontiguousarray(image[crop])
+        labels = None
+        if self.include_labels:
+            raw_labels = nifti.read_in_labels(scan_dir, self.label_extension)
+            labels = swap_labels_from_brats(raw_labels[crop])
+        return cropped, labels, crop, image.shape[:3]
+
+    def _process_one_device(self, mri_id: str):
+        """Device preprocessing (prep_impl='device', requires an attached
+        accelerator): normalization quantile + standardization + smoothing +
+        SLIC assignment run as one device chain on a flat int16 upload of the
+        RAW cropped volume (`ops.slic_tpu.serve_preprocess_tpu` — the serve
+        path's program, reused for bulk throughput). The host computes graph
+        features from the raw image through the equivalent positive affine
+        and materializes the standardized artifact with the device-computed q
+        (bit-identical to the host path: same q, same operation order). With
+        the thread pool, host stats/kNN/gz-writes for sample i-1 overlap the
+        device work for sample i."""
+        from ..ops.slic_tpu import finalize_labels, serve_preprocess_tpu
+        from .graph_build import sample_from_partition
+
+        raw, labels, crop, orig_shape = self.get_raw_cropped(
+            self.id_to_fp[mri_id])
+        from ..cli.common import default_pad_shape
+
+        ps = (self.pad_shape if self.pad_shape != "default"
+              else default_pad_shape())
+        if ps is not None:
+            ps = tuple(max(p, int(s)) for p, s in zip(ps, raw.shape[:3]))
+        labels_raw, _vol_t, q, step = serve_preprocess_tpu(
+            raw, self.num_nodes, self.boxiness,
+            self.dataset_mean, self.dataset_std, sigma=1.0, pad_shape=ps)
+        del _vol_t    # bulk path: free the resident volume immediately
+        sv = finalize_labels(labels_raw, step)
+        a = (1.0 / (q * self.dataset_std)).astype(np.float32)
+        b = (-self.dataset_mean / self.dataset_std).astype(np.float32)
+        sample = sample_from_partition(raw, labels, sv, self.num_neighbors,
+                                       weighted=self.weighted,
+                                       feat_affine=(a, b))
+        # standardized artifact with the exact host operation order
+        # ((x/q - mean)/std), so the saved volume is bit-identical to the
+        # host path's (q itself is bit-identical, see serve_preprocess_tpu)
+        raw /= q
+        raw -= self.dataset_mean
+        raw /= self.dataset_std
+        return raw, labels, crop, orig_shape, sample
+
     def process_one(self, mri_id: str) -> str:
-        image, labels, crop, orig_shape = self.get_standardized_image(self.id_to_fp[mri_id])
-        sample = build_graph_sample(
-            image, labels, self.num_nodes, self.boxiness, self.num_neighbors,
-            slic_fn=self.slic_fn, weighted=self.weighted,
-        )
+        if self.prep_impl == "device":
+            image, labels, crop, orig_shape, sample = \
+                self._process_one_device(mri_id)
+        else:
+            image, labels, crop, orig_shape = self.get_standardized_image(
+                self.id_to_fp[mri_id])
+            sample = build_graph_sample(
+                image, labels, self.num_nodes, self.boxiness,
+                self.num_neighbors, slic_fn=self.slic_fn,
+                weighted=self.weighted,
+            )
         out = os.path.join(self.output_dir, mri_id)
         os.makedirs(out, exist_ok=True)
         pre = os.path.join(out, mri_id)

@@ -145,7 +145,7 @@ def compute_accuracy(pred: np.ndarray, gt: np.ndarray, include_healthy: bool = T
 
 def print_metrics(loss, dsc, hd):
     print(f"Loss : {loss}")
-    for name, d, h in zip(("WT", "CT", "AT"), dsc, hd):
+    for name, d in zip(("WT", "CT", "AT"), dsc):
         print(f"{name} Dice : {d}")
-    for name, d, h in zip(("WT", "CT", "AT"), dsc, hd):
+    for name, h in zip(("WT", "CT", "AT"), hd):
         print(f"{name} HD95 : {h}")

@@ -151,6 +151,20 @@ class HaloTrainer:
         return total / max(len(self.graphs), 1)
 
     # ------------------------------------------------------------------ eval
+    def _sharded_batch(self, b):
+        """Device-put a PartitionedBatch's graph once and memoize it on the
+        batch object: evaluate_loss runs every epoch as the early-stop
+        signal, and re-shipping the val partitions each check was pure
+        transfer waste (advisor/VERDICT r3 minor)."""
+        pg = getattr(b, "_device_sharded", None)
+        if pg is None:
+            pg = shard_partitioned(b.pg, self.mesh, self.axis)
+            try:
+                b._device_sharded = pg
+            except (AttributeError, TypeError):
+                pass                      # frozen container: just don't cache
+        return pg
+
     def evaluate_loss(self, batches) -> float:
         """Mean validation loss over PartitionedBatch(es), entirely on-device
         in the partitioned regime (shard-local forward, GSPMD-reduced weighted
@@ -159,7 +173,7 @@ class HaloTrainer:
             return float("nan")
         total = 0.0
         for b in batches:
-            pg = shard_partitioned(b.pg, self.mesh, self.axis)
+            pg = self._sharded_batch(b)
             total += float(self._loss(self.state.params, pg))
         return total / len(batches)
 
@@ -201,7 +215,7 @@ class HaloTrainer:
 
         rows_m, rows_c = [], []
         for b in batches:
-            pg = shard_partitioned(b.pg, self.mesh, self.axis)
+            pg = self._sharded_batch(b)
             logits_sharded = self._fwd(self.state.params, pg)
             logits = unpermute_nodes(fetch(logits_sharded), b.n_total)
             labels = (None if b.pg.labels is None else

@@ -30,7 +30,8 @@ from .checkpoint import save_checkpoint
 from .losses import weighted_cross_entropy
 from .optim import make_train_state, apply_updates
 
-__all__ = ["CNNTrainer", "combine_logits_and_image", "pad_to_bucket"]
+__all__ = ["CNNTrainer", "combine_logits_and_image", "pad_to_bucket",
+           "default_crop_floor"]
 
 _CROP_BUCKET = 16
 
@@ -43,11 +44,23 @@ def combine_logits_and_image(gnn_logits: np.ndarray, img: np.ndarray,
     return combined[tumor_crop]
 
 
-def pad_to_bucket(vol: np.ndarray, bucket: int = _CROP_BUCKET):
-    """Edge-replicate-pad the leading 3 spatial dims up to multiples of `bucket`.
-    Returns (padded, valid_mask[spatial])."""
+def pad_to_bucket(vol: np.ndarray, bucket: int = _CROP_BUCKET,
+                  floor: tuple[int, int, int] | None = None):
+    """Edge-replicate-pad the leading 3 spatial dims up to multiples of
+    `bucket`, and at least to `floor` when given. Returns
+    (padded, valid_mask[spatial]).
+
+    `floor` is the compile-count lever: with a dataset-stable floor (e.g.
+    (128,128,128)) every typical tumor crop shares ONE compiled train step —
+    measured on v5e, a fresh conv fwd+bwd compile costs 30-90 s through the
+    remote tunnel while the extra padded-voxel compute costs milliseconds,
+    so trading FLOPs for compile stability wins by orders of magnitude
+    (scripts/bench_cnn.py). Oversized crops still fall back to bucketing
+    (rare -> rare compiles)."""
     spatial = vol.shape[:3]
     target = tuple(-(-s // bucket) * bucket for s in spatial)
+    if floor is not None:
+        target = tuple(max(t, f) for t, f in zip(target, floor))
     pads = [(0, t - s) for s, t in zip(spatial, target)]
     if vol.ndim == 4:
         pads.append((0, 0))
@@ -57,9 +70,36 @@ def pad_to_bucket(vol: np.ndarray, bucket: int = _CROP_BUCKET):
     return padded, mask
 
 
+DEFAULT_CROP_FLOOR = (128, 128, 128)
+
+
+def default_crop_floor() -> tuple[int, int, int] | None:
+    """CNN crop floor: DEFAULT_CROP_FLOOR unless overridden via
+    GTS_CNN_CROP_FLOOR ('X,Y,Z' or 'none' — the CPU test suite disables it;
+    tiny test crops floored to 128^3 would pay ~86 GFLOP convs per step)."""
+    import os
+
+    env = os.environ.get("GTS_CNN_CROP_FLOOR")
+    if env:
+        if env.strip().lower() in ("none", "0"):
+            return None
+        return tuple(int(v) for v in env.split(","))
+    return DEFAULT_CROP_FLOOR
+
+
 class CNNTrainer:
     def __init__(self, hp: HyperParams, image_dataset=None, logit_dataset=None,
-                 seed: int = 0):
+                 seed: int = 0, crop_floor="default"):
+        """crop_floor: minimum padded crop shape (edge-replicate, masked
+        loss; valid-region conv outputs are unchanged — replicate padding is
+        a constant extension and k=5 only ever sees 2 planes of it). The
+        default floors typical BraTS tumor crops into ONE compiled step
+        shape — data-dependent 16-buckets alone cost a 30-90 s tunnel
+        compile per novel bucket (a multi-minute storm on first epochs,
+        scripts/bench_cnn.py) for a padding-compute cost of milliseconds.
+        None restores pure 16-bucketing."""
+        self.crop_floor = (default_crop_floor() if crop_floor == "default"
+                           else crop_floor)
         self.hp = hp
         self.net = CnnRefinementNet(hp.in_feats, hp.out_classes, hp.layer_sizes)
         self.params = self.net.init(jax.random.PRNGKey(seed))
@@ -96,7 +136,7 @@ class CNNTrainer:
         except FileNotFoundError:
             return None
         x = combine_logits_and_image(gnn_logits, img, crop)
-        x, mask = pad_to_bucket(x)
+        x, mask = pad_to_bucket(x, floor=self.crop_floor)
         out = [jnp.asarray(x)[None], None, jnp.asarray(mask)[None]]
         if labels is not None:
             lab = labels[crop]

@@ -18,6 +18,7 @@ voxel Dice; WT/CT/ET HD95; plus predicted/true node-label counts
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +112,9 @@ class GNNTrainer:
         self._forward = jax.jit(
             lambda params, graph: self.model.apply(params, graph, train=False)
         )
+        # batched eval program (losses + argmax on device), built on first use
+        self._eval_forward = None
+        self.last_eval_stats: dict = {}
 
     # ---------------------------------------------------------------- shapes
     def _compute_shape_budget(self, data) -> tuple[int, int]:
@@ -291,40 +295,108 @@ class GNNTrainer:
         logits = jax.device_get(self._forward(self.state.params, graph))[0]
         return logits[: int(graph.n_nodes[0])]
 
-    def evaluate(self, data, indices=None):
+    def _build_eval_forward(self):
+        from .losses import weighted_cross_entropy_per_graph
+
+        model, cw = self.model, self.class_weights
+
+        @jax.jit
+        def fwd(params, graph):
+            logits = model.apply(params, graph, train=False)
+            losses = weighted_cross_entropy_per_graph(
+                logits, graph.labels, cw, graph.node_mask)
+            preds = jnp.argmax(logits, -1).astype(jnp.int16)
+            return losses, preds
+
+        return fwd
+
+    def evaluate(self, data, indices=None, batch_size: int | None = None,
+                 workers: int | None = None):
         """Per-brain metrics averaged over the set.
 
         Returns (avg_metrics[10], total_counts[8]) exactly like
         `model/gnn_model.py:51-74`: [loss, node WT/CT/ET dice, voxel WT/CT/ET
         dice, WT/CT/ET hd95], [pred counts x4, true counts x4].
-        """
+
+        Batched + pipelined (VERDICT r3 item 3): brains forward in stacks of
+        `batch_size` (default hp.batch_size) through ONE compiled program
+        (per-graph losses + argmax on device, one small D2H per batch instead
+        of per-brain logits pulls), while the host voxel work per brain —
+        supervoxel/label NIfTI decode, node->voxel projection, Dice and EDT
+        HD95 — runs in a thread pool overlapping the next batch's device step
+        and each other. `last_eval_stats` records the batch count/timing
+        (regression-tested in tests/test_training.py)."""
+        import concurrent.futures
+        import time as _time
+
+        from ..ops.graph import batch_graphs
+
         if indices is None:
             indices = range(len(data))
-        indices = list(indices)
+        indices = [int(i) for i in indices]
+        t0 = _time.perf_counter()
+        bs = batch_size or self._local_batch_size()
+        workers = workers or min(8, (os.cpu_count() or 2) + 2)
         metrics = np.zeros((len(indices), 10))
         counts = np.zeros((len(indices), 8))
-        for row, i in enumerate(indices):
-            g = data.get_graph(int(i))
-            assert g.labels is not None, "evaluate requires labelled graphs"
-            logits = self._forward(self.state.params, g)
-            loss = weighted_cross_entropy(
-                logits, g.labels, self.class_weights, g.node_mask
-            )
-            n = int(g.n_nodes[0])
-            node_preds = np.asarray(jnp.argmax(logits[0], -1))[:n]
-            node_labels = np.asarray(g.labels[0])[:n]
-            metrics[row][0] = float(loss)
+        if self._eval_forward is None:
+            self._eval_forward = self._build_eval_forward()
+
+        def host_metrics(row, i, node_preds, node_labels):
             counts[row] = np.concatenate([
                 evaluation.count_node_labels(node_preds),
                 evaluation.count_node_labels(node_labels),
             ])
-            node_dices = evaluation.calculate_node_dices(node_preds, node_labels)
-            mri_id = data.ids[int(i)]
+            node_dices = evaluation.calculate_node_dices(node_preds,
+                                                         node_labels)
+            mri_id = data.ids[i]
             sv = data.get_supervoxel_partitioning(mri_id)
             true_vox = data.get_voxel_labels(mri_id)
             pred_vox = project_nodes_to_img(sv, node_preds)
-            voxel_metrics = evaluation.calculate_brats_metrics(pred_vox, true_vox)
+            voxel_metrics = evaluation.calculate_brats_metrics(pred_vox,
+                                                               true_vox)
             metrics[row][1:] = np.concatenate([node_dices, voxel_metrics])
+
+        n_batches = 0
+        with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+            futures = []
+            for start in range(0, len(indices), bs):
+                chunk = indices[start:start + bs]
+                graphs = [data.get_graph(i) for i in chunk]
+                for g in graphs:
+                    assert g.labels is not None, \
+                        "evaluate requires labelled graphs"
+                while len(graphs) < bs:   # same compiled shape for the tail
+                    graphs.append(graphs[0])
+                # pin bucket shapes dataset-wide so every batch reuses ONE
+                # compiled program regardless of its composition
+                n_pad = d_pad = None
+                if hasattr(data, "shape_budget"):
+                    n_raw, d_raw = data.shape_budget()
+                    n_pad = bucket_size(n_raw, NODE_BUCKETS)
+                    d_pad = bucket_size(d_raw, DEGREE_BUCKETS)
+                batch = batch_graphs(graphs, n_pad=n_pad, d_pad=d_pad)
+                losses, preds = self._eval_forward(self.state.params, batch)
+                n_batches += 1
+                losses = np.asarray(losses)
+                preds = np.asarray(preds)          # [bs, N] int16, one pull
+                labels = np.asarray(batch.labels)
+                n_nodes = np.asarray(batch.n_nodes)
+                for j, i in enumerate(chunk):
+                    row = start + j
+                    n = int(n_nodes[j])
+                    metrics[row][0] = float(losses[j])
+                    futures.append(pool.submit(
+                        host_metrics, row, i, preds[j][:n], labels[j][:n]))
+            for f in futures:
+                f.result()
+        self.last_eval_stats = {
+            "brains": len(indices),
+            "batches": n_batches,
+            "batch_size": bs,
+            "workers": workers,
+            "seconds": _time.perf_counter() - t0,
+        }
         return np.mean(metrics, axis=0), np.sum(counts, axis=0)
 
     # ---------------------------------------------------------------- io

@@ -11,7 +11,27 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["weighted_cross_entropy"]
+__all__ = ["weighted_cross_entropy", "weighted_cross_entropy_per_graph"]
+
+
+def weighted_cross_entropy_per_graph(
+    logits: jax.Array,      # [B, N, C]
+    labels: jax.Array,      # [B, N] int
+    class_weights: jax.Array,  # [C]
+    mask: jax.Array | None = None,  # [B, N] 1.0 = real element
+) -> jax.Array:
+    """Per-graph weighted CE [B]: the batched-evaluation form — each graph's
+    loss equals `weighted_cross_entropy` on that graph alone (the reference
+    computes eval loss per brain, `model/gnn_model.py:51-74`)."""
+    labels_safe = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
+    w = class_weights[labels_safe]
+    valid = (labels >= 0).astype(logits.dtype)
+    if mask is not None:
+        valid = valid * mask
+    w = w * valid
+    return jnp.sum(w * nll, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1e-12)
 
 
 def weighted_cross_entropy(

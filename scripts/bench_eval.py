@@ -1,0 +1,137 @@
+"""Dataset-scale evaluation benchmark (VERDICT r3 item 3).
+
+`GNNTrainer.evaluate` computes the reference's per-brain 10-metric vector
+(`model/gnn_model.py:51-74`): forward, node Dice, node->voxel projection,
+voxel Dice + EDT HD95. A 5-fold run at BraTS-2021 scale performs ~2,500
+per-brain evaluations per fold — this measures what that costs on the real
+chip and what the batched+threaded evaluate path buys:
+
+  serial  — batch_size=1, workers=1: the pre-round-4 shape (one B=1 forward
+            per brain through the relay, host metrics inline)
+  batched — default: stacks of hp.batch_size brains through ONE compiled
+            program; host NIfTI decode/projection/Dice/HD95 in a thread pool
+            overlapping the device and each other
+
+Builds (and caches) a full-scale labelled synthetic dataset with real
+BraTS-shaped brains/partitions (full_scale_smoke.make_brain -> preprocess).
+
+Run: python scripts/bench_eval.py [--samples 24] [--workdir /tmp/gts_eval]
+Prints ONE JSON line. NOTE: do not run concurrently with other heavy jobs.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gnn_tumor_seg_tpu.runtime import (enable_compilation_cache,
+                                       enable_host_alloc_reuse)
+
+enable_compilation_cache()
+enable_host_alloc_reuse()
+
+import numpy as np
+
+
+def build_dataset(workdir: str, samples: int, num_nodes: int):
+    from full_scale_smoke import make_brain
+    from gnn_tumor_seg_tpu.data import nifti
+    from gnn_tumor_seg_tpu.data.preprocess import DataPreprocessor
+
+    raw = os.path.join(workdir, "raw")
+    proc = os.path.join(workdir, "proc")
+    rng = np.random.default_rng(1)
+    if not os.path.isdir(proc) or len(os.listdir(proc)) < samples:
+        t0 = time.perf_counter()
+        for i in range(samples):
+            d = os.path.join(raw, f"EvalScale_{i:03d}")
+            if os.path.isdir(d):
+                continue
+            os.makedirs(d)
+            mods, labels = make_brain(rng)
+            for vol, ext in zip(mods, ["_flair.nii.gz", "_t1.nii.gz",
+                                       "_t1ce.nii.gz", "_t2.nii.gz"]):
+                nifti.write_nifti(vol, os.path.join(d, f"case{ext}"))
+            nifti.write_nifti(labels, os.path.join(d, "case_seg.nii.gz"))
+        print(f"[gen] raw in {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        pre = DataPreprocessor(raw, proc, num_nodes=num_nodes,
+                               num_neighbors=10, boxiness=0.5,
+                               label_extension="_seg.nii.gz", n_threads=2)
+        pre.run()
+        print(f"[preprocess] in {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr)
+    return proc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=24)
+    ap.add_argument("--num_nodes", type=int, default=15000)
+    ap.add_argument("--workdir", type=str, default="/tmp/gts_eval_bench")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--train_epochs", type=int, default=4)
+    args = ap.parse_args()
+
+    proc = build_dataset(args.workdir, args.samples, args.num_nodes)
+
+    import jax
+
+    from gnn_tumor_seg_tpu.config import hardcoded_hyperparameters
+    from gnn_tumor_seg_tpu.data.dataset import ImageGraphDataset
+    from gnn_tumor_seg_tpu.train.gnn_trainer import GNNTrainer
+
+    ds = ImageGraphDataset(proc)
+    hp = hardcoded_hyperparameters("GSpool")   # flagship 7x256 eval shapes
+    hp.layer_sizes = [256] * 6
+    trainer = GNNTrainer("GSpool", hp, ds, seed=0)
+    print(f"[eval] device {jax.devices()[0]}, {len(ds)} brains, "
+          f"budget {ds.shape_budget()}", file=sys.stderr)
+    # evaluate() is always run on (at least partially) trained models; with
+    # RANDOM weights the predicted-tumor masks are garbage, the HD95
+    # union-bbox crop degenerates to the full 240^3 volume, and the EDT cost
+    # explodes ~30x — train a few epochs first so the measurement reflects
+    # real usage
+    for e in range(args.train_epochs):
+        loss = trainer.run_epoch()
+        print(f"[train] epoch {e}: loss {loss:.4f} "
+              f"({trainer.last_epoch_stats['seconds']:.1f}s)", file=sys.stderr)
+
+    def timed(tag, **kw):
+        best = None
+        for r in range(args.repeats + 1):
+            t0 = time.perf_counter()
+            trainer.evaluate(ds, **kw)
+            dt = time.perf_counter() - t0
+            print(f"[eval] {tag} run {r}: {dt:.1f}s "
+                  f"({dt/len(ds)*1000:.0f} ms/brain) {trainer.last_eval_stats}",
+                  file=sys.stderr)
+            if r > 0:   # run 0 pays compiles/cache warmup
+                best = dt if best is None else min(best, dt)
+        return best
+
+    serial = timed("serial", batch_size=1, workers=1)
+    batched = timed("batched")
+
+    per_brain = batched / len(ds)
+    detail = {
+        "samples": len(ds),
+        "serial_s_per_brain": round(serial / len(ds), 3),
+        "batched_s_per_brain": round(per_brain, 3),
+        "speedup": round(serial / batched, 2),
+        "fold_eval_projection_1251_brains_s": round(per_brain * 1251 * 2, 0),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps({
+        "metric": "eval_s_per_brain",
+        "value": round(per_brain, 3),
+        "unit": "s/brain",
+        "detail": detail,
+    }))
+
+
+if __name__ == "__main__":
+    main()

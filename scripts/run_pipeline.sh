@@ -12,10 +12,13 @@ PRED_OUTPUT_DIR="${PRED_OUTPUT_DIR:?set to prediction output dir}"
 LOG_OUTPUT_DIR="${LOG_OUTPUT_DIR:?set to log/checkpoint dir}"
 MODEL_NAME="${MODEL_NAME:-pipelineModel}"
 MODEL_TYPE="${MODEL_TYPE:-GSpool}"
+# optional extra CLI args for the train steps (e.g. --hp overrides)
+GNN_EXTRA_ARGS="${GNN_EXTRA_ARGS:-}"
+CNN_EXTRA_ARGS="${CNN_EXTRA_ARGS:-}"
 
 echo "Starting step 1 of 4: Training GNN"
 python -m gnn_tumor_seg_tpu.cli.train_gnn -d "$PROCESSED_TRAINING_DATA_DIR" \
-    -o "$LOG_OUTPUT_DIR" -r "${MODEL_NAME}_gnn" -m "$MODEL_TYPE" -k 1
+    -o "$LOG_OUTPUT_DIR" -r "${MODEL_NAME}_gnn" -m "$MODEL_TYPE" -k 1 $GNN_EXTRA_ARGS
 echo "Finished step 1"
 
 gnn_weight_file="${LOG_OUTPUT_DIR}/${MODEL_NAME}_gnn_f1.ckpt"
@@ -26,7 +29,7 @@ echo "Finished step 2"
 
 echo "Starting step 3 of 4: Training CNN"
 python -m gnn_tumor_seg_tpu.cli.train_refinement_cnn -d "$PROCESSED_TRAINING_DATA_DIR" \
-    -o "$LOG_OUTPUT_DIR" -l "$GNN_LOGIT_DIR" -r "${MODEL_NAME}_cnn" -k 1
+    -o "$LOG_OUTPUT_DIR" -l "$GNN_LOGIT_DIR" -r "${MODEL_NAME}_cnn" -k 1 $CNN_EXTRA_ARGS
 echo "Finished step 3"
 
 echo "Starting step 4 of 4: Generating Final Predictions"

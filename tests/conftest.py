@@ -24,3 +24,6 @@ os.environ.setdefault("GTS_PALLAS_MIN_NODES", "0")
 # the test volumes are ~32 voxels, so disable it globally — dedicated tests
 # exercise padding with explicit small pad shapes
 os.environ.setdefault("GTS_SERVE_PAD_SHAPE", "none")
+# likewise the CNN crop floor (128^3 would cost ~86 GFLOP CPU convs per step
+# on the tiny test crops); a dedicated test exercises it explicitly
+os.environ.setdefault("GTS_CNN_CROP_FLOOR", "none")

@@ -384,3 +384,58 @@ def test_weighted_graph_store_roundtrips_and_trains(tmp_path):
     grads = jax.grad(lambda p: float(0) + (model.apply(p, g_w) ** 2).sum())(params)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(grads))
+
+
+def test_device_preprocess_matches_host(tmp_path):
+    """DataPreprocessor(prep_impl='device') produces artifacts matching the
+    host path: bit-identical standardized volume, identical supervoxel
+    partition (the device chain is bitwise-equal to host preprocessing in
+    exact mode — test_slic_tpu.py), features within the affine-commutation
+    tolerance, identical edges/labels."""
+    from tests.test_pipeline_e2e import make_fake_brats_dir
+
+    from gnn_tumor_seg_tpu.data import store
+    from gnn_tumor_seg_tpu.data.preprocess import DataPreprocessor
+
+    raw = tmp_path / "raw"
+    make_fake_brats_dir(raw, n_samples=1, seed=44)
+
+    outs = {}
+    for impl in ("host", "device"):
+        out = tmp_path / f"out_{impl}"
+        kw = {}
+        if impl == "device":
+            kw = dict(prep_impl="device", pad_shape=None)
+        else:
+            # pin the host path to the TPU-SLIC backend so the partitions are
+            # comparable (the device path's SLIC is the ops/slic_tpu chain)
+            from gnn_tumor_seg_tpu.cli.common import resolve_slic_fn
+
+            kw = dict(slic_fn=resolve_slic_fn("tpu", pad_shape=None))
+        pre = DataPreprocessor(str(raw), str(out), num_nodes=250,
+                               num_neighbors=6, boxiness=0.5,
+                               label_extension="_seg.nii.gz", n_threads=1,
+                               **kw)
+        done = pre.run()
+        assert len(done) == 1
+        sid = done[0]
+        d = out / sid
+        outs[impl] = {
+            "input": nifti.read_nifti(str(d / f"{sid}_input.nii.gz"),
+                                      np.float32),
+            "sv": nifti.read_nifti(str(d / f"{sid}_supervoxels.nii.gz"),
+                                   np.int16),
+            "label": nifti.read_nifti(str(d / f"{sid}_label.nii.gz"),
+                                      np.int16),
+            "sample": store.load_graph_npz(str(d / f"{sid}_graph.npz")),
+        }
+
+    h, dv = outs["host"], outs["device"]
+    assert np.array_equal(h["input"], dv["input"])      # bitwise standardized
+    assert np.array_equal(h["sv"], dv["sv"])
+    assert np.array_equal(h["label"], dv["label"])
+    np.testing.assert_allclose(dv["sample"].feats, h["sample"].feats,
+                               atol=3e-5)
+    assert np.array_equal(h["sample"].src, dv["sample"].src)
+    assert np.array_equal(h["sample"].dst, dv["sample"].dst)
+    assert np.array_equal(h["sample"].labels, dv["sample"].labels)

@@ -173,3 +173,27 @@ def test_cnn_fast_mode_tracks_exact():
         got = np.asarray(net.apply(params, x))
     assert got.dtype == np.float32
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+def test_cnn_crop_floor_preserves_valid_outputs():
+    """Flooring the padded crop shape (CNNTrainer crop_floor — the r4
+    compile-storm fix) must not change conv outputs inside the true crop:
+    edge-replicate padding is a constant extension and k=5 sees only 2
+    planes of it."""
+    import numpy as np
+
+    from gnn_tumor_seg_tpu.models.refine_cnn import CnnRefinementNet
+    from gnn_tumor_seg_tpu.train.cnn_trainer import pad_to_bucket
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(19, 14, 11, 8)).astype(np.float32)
+    net = CnnRefinementNet(8, 4, [8])
+    params = net.init(jax.random.PRNGKey(0))
+
+    small, _ = pad_to_bucket(x)                       # (32, 16, 16)
+    big, mask = pad_to_bucket(x, floor=(48, 32, 32))  # floored shape
+    assert big.shape[:3] == (48, 32, 32)
+    out_small = np.asarray(net.apply(params, jnp.asarray(small)[None]))[0]
+    out_big = np.asarray(net.apply(params, jnp.asarray(big)[None]))[0]
+    np.testing.assert_allclose(out_big[:19, :14, :11],
+                               out_small[:19, :14, :11], atol=2e-5)

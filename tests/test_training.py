@@ -262,3 +262,21 @@ def test_restore_params_only_checkpoint(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t.state.params),
                     jax.tree_util.tree_leaves(t2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_batched_path_matches_serial():
+    """The batched+threaded evaluate (VERDICT r3 item 3) uses ceil(N/bs)
+    compiled forwards and reproduces the per-brain serial computation."""
+    data = SyntheticGraphDataset(n_samples=5, grid=5, seed=9)
+    trainer = GNNTrainer("GSmean", small_hp(), data, seed=0)
+    for _ in range(3):
+        trainer.run_epoch()
+
+    m_b, c_b = trainer.evaluate(data, batch_size=2, workers=4)
+    assert trainer.last_eval_stats["batches"] == 3      # ceil(5/2)
+    assert trainer.last_eval_stats["brains"] == 5
+    # serial reference: batch of one, one worker (the old per-brain shape)
+    m_s, c_s = trainer.evaluate(data, batch_size=1, workers=1)
+    assert trainer.last_eval_stats["batches"] == 5
+    np.testing.assert_allclose(m_b, m_s, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(c_b, c_s)
