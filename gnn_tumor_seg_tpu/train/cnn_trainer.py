@@ -146,20 +146,35 @@ class CNNTrainer:
         return out, crop
 
     # ------------------------------------------------------------------ epochs
+    def _load_and_prepare(self, mri_id: str):
+        img = self.image_dataset.get_image(mri_id)
+        labels = self.image_dataset.get_voxel_labels(mri_id)
+        return self._prepare(mri_id, img, labels)
+
     def run_epoch(self) -> float:
+        """One shuffled bs=1 pass (`model/cnn_model.py:36-56`).
+
+        The epoch is host-IO-bound (measured: ~2.3 s/brain of image+logit
+        NIfTI decode and crop prep vs ~0.1-0.3 s device step —
+        scripts/bench_cnn.py), so the next sample's load/prep runs in a
+        prefetch thread overlapping the current device step."""
+        import concurrent.futures
+
         assert self.image_dataset is not None and self.logit_dataset is not None
         ids = list(self.image_dataset.ids)
         self.rng.shuffle(ids)
         losses = []
-        for mri_id in ids:
-            img = self.image_dataset.get_image(mri_id)
-            labels = self.image_dataset.get_voxel_labels(mri_id)
-            prep = self._prepare(mri_id, img, labels)
-            if prep is None:
-                continue
-            (x, lab, mask), _ = prep
-            self.state, loss = self._step(self.state, x, lab, mask)
-            losses.append(loss)
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            pending = pool.submit(self._load_and_prepare, ids[0]) if ids else None
+            for k, mri_id in enumerate(ids):
+                prep = pending.result()
+                pending = (pool.submit(self._load_and_prepare, ids[k + 1])
+                           if k + 1 < len(ids) else None)
+                if prep is None:
+                    continue
+                (x, lab, mask), _ = prep
+                self.state, loss = self._step(self.state, x, lab, mask)
+                losses.append(loss)
         self.state = self.state.next_epoch()
         return float(np.mean([jax.device_get(l) for l in losses]))
 
