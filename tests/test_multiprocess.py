@@ -107,11 +107,11 @@ def _run_two_process(dataset_dir, out_dir) -> None:
         assert p.returncode == 0, f"process failed:\n{se[-3000:]}"
 
 
-def _read_params(ckpt):
+def _read_params(ckpt, expect="GSmean"):
     from gnn_tumor_seg_tpu.train.checkpoint import load_checkpoint
 
     leaves, model_type, hp, _ = load_checkpoint(str(ckpt))
-    assert model_type == "GSmean"
+    assert model_type == expect
     return leaves
 
 
@@ -155,6 +155,63 @@ def test_two_process_dp_run(dataset_dir, tmp_path):
 
     # cross-process evaluation merge == single-process evaluation (loss + the
     # 3 voxel dice columns recorded in the progress row)
+    vals_s = [float(x) for x in rows_s[0].split("\t")[1:]]
+    vals_m = [float(x) for x in rows_m[0].split("\t")[1:]]
+    np.testing.assert_allclose(vals_m, vals_s, atol=2e-3)
+
+
+def _run_halo(dataset_dir, out_dir, nproc: int) -> None:
+    hp = ["--hp", "n_epochs=2", "--hp", "layer_sizes=[16, 16]",
+          "--hp", "lr=3e-3", "--hp", "batch_size=4",
+          "--hp", "feature_dropout=0.0"]
+    base = ["-d", str(dataset_dir), "-o", str(out_dir), "-r", "mhh",
+            "-m", "GSmean", "-k", "1", "--parallel", "halo", "--mesh", "8",
+            "--graphs_per_batch", "4", *hp]
+    if nproc == 1:
+        r = subprocess.run([sys.executable, "-c", _LAUNCHER, *base],
+                           env=_env(8), capture_output=True, text=True,
+                           timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        return
+    port = _free_port()
+    procs = []
+    for pid in range(nproc):
+        args = base + ["--coordinator", f"127.0.0.1:{port}",
+                       "--num_processes", str(nproc), "--process_id", str(pid)]
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _LAUNCHER, *args], env=_env(8 // nproc),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    for p in procs:
+        so, se = p.communicate(timeout=900)
+        assert p.returncode == 0, f"halo process failed:\n{se[-3000:]}"
+
+
+def test_two_process_halo_run(dataset_dir, tmp_path):
+    """The node-partitioned (halo) regime over a REAL 2-process mesh: every
+    host builds the same union graphs; shard_partitioned hands each local
+    device its node shard via make_array_from_callback; training/eval run as
+    global SPMD. Previously this path had only process_count==1 coverage."""
+    out_s = tmp_path / "halo_single"
+    out_m = tmp_path / "halo_multi"
+    out_s.mkdir()
+    out_m.mkdir()
+    _run_halo(dataset_dir, out_s, 1)
+    _run_halo(dataset_dir, out_m, 2)
+
+    files = sorted(os.listdir(out_m))
+    assert files == ["mhh.txt", "mhh.txt.jsonl", "mhh_f1.ckpt"], files
+    # identical global SPMD computation on both topologies -> same params to
+    # partitioning/reduction-order tolerance
+    p_s = _read_params(out_s / "mhh_f1.ckpt", "GSmean")
+    p_m = _read_params(out_m / "mhh_f1.ckpt", "GSmean")
+    for a, b in zip(p_s, p_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+    rows_s = [l for l in (out_s / "mhh.txt").read_text().splitlines()
+              if l.startswith("mhh_full")]
+    rows_m = [l for l in (out_m / "mhh.txt").read_text().splitlines()
+              if l.startswith("mhh_full")]
+    assert len(rows_m) == 1
     vals_s = [float(x) for x in rows_s[0].split("\t")[1:]]
     vals_m = [float(x) for x in rows_m[0].split("\t")[1:]]
     np.testing.assert_allclose(vals_m, vals_s, atol=2e-3)
