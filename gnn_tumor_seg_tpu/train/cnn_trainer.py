@@ -154,27 +154,25 @@ class CNNTrainer:
     def run_epoch(self) -> float:
         """One shuffled bs=1 pass (`model/cnn_model.py:36-56`).
 
-        The epoch is host-IO-bound (measured: ~2.3 s/brain of image+logit
-        NIfTI decode and crop prep vs ~0.1-0.3 s device step —
-        scripts/bench_cnn.py), so the next sample's load/prep runs in a
-        prefetch thread overlapping the current device step."""
-        import concurrent.futures
-
+        The epoch is host-IO-bound (~2.3 s/brain of image+logit NIfTI decode
+        and crop prep vs 0.1-0.3 s device step, scripts/bench_cnn.py). The
+        device step already overlaps the NEXT sample's host prep via async
+        dispatch (losses are only device_get at epoch end), and an explicit
+        prefetch thread was tried and REVERTED: holding two samples'
+        ~70-150 MB buffers alive concurrently re-triggers this host class's
+        slow first-touch page faults and measured 1.5-3x SLOWER epochs
+        (alternating A/B, round 4)."""
         assert self.image_dataset is not None and self.logit_dataset is not None
         ids = list(self.image_dataset.ids)
         self.rng.shuffle(ids)
         losses = []
-        with concurrent.futures.ThreadPoolExecutor(1) as pool:
-            pending = pool.submit(self._load_and_prepare, ids[0]) if ids else None
-            for k, mri_id in enumerate(ids):
-                prep = pending.result()
-                pending = (pool.submit(self._load_and_prepare, ids[k + 1])
-                           if k + 1 < len(ids) else None)
-                if prep is None:
-                    continue
-                (x, lab, mask), _ = prep
-                self.state, loss = self._step(self.state, x, lab, mask)
-                losses.append(loss)
+        for mri_id in ids:
+            prep = self._load_and_prepare(mri_id)
+            if prep is None:
+                continue
+            (x, lab, mask), _ = prep
+            self.state, loss = self._step(self.state, x, lab, mask)
+            losses.append(loss)
         self.state = self.state.next_epoch()
         return float(np.mean([jax.device_get(l) for l in losses]))
 
