@@ -259,17 +259,19 @@ def pad_and_ship_partition(sv_partition: np.ndarray, n_nodes: int,
     return jnp.asarray(sv)
 
 
-def _axis_indices(ax_mask: np.ndarray, bucket: int, true_n: int | None = None):
+def _axis_indices(ax_mask: np.ndarray, bucket: int, floor: int = 0):
     """Tumor-crop row indices along one axis (np.ix_ semantics — possibly
-    non-contiguous), bucket-padded by repeating the last row (edge
-    replicate). All-False falls back to the full TRUE axis (reference
-    behavior when no tumor is predicted; true_n caps the fallback when the
-    mask covers a padded axis)."""
+    non-contiguous), padded by repeating the last row (edge replicate) up to
+    the bucket multiple and at least to `floor` (the CNN crop floor: one
+    compiled forward shape for all typical tumor crops — a novel bucket
+    costs a 30-90 s tunnel compile, measured as a 54 s/brain compile storm
+    in batch joint prediction before the floor). All-False falls back to the
+    full axis (reference behavior when no tumor is predicted)."""
     idxs = np.where(ax_mask)[0]
     if idxs.size == 0:
-        idxs = np.arange(true_n if true_n is not None else ax_mask.shape[0])
+        idxs = np.arange(ax_mask.shape[0])
     n = int(idxs.size)
-    padded_len = -(-n // bucket) * bucket
+    padded_len = max(-(-n // bucket) * bucket, floor)
     padded = np.concatenate(
         [idxs, np.full(padded_len - n, idxs[-1], idxs.dtype)])
     return padded.astype(np.int32), n, idxs
@@ -354,9 +356,12 @@ def predict_one_sample_device(gnn_forward, cnn_forward, graph,
     # never sees
     mx, my, mz = np.asarray(mx)[:X], np.asarray(my)[:Y], np.asarray(mz)[:Z]
     t1 = rec()
-    ix, nx, rx = _axis_indices(mx, _CROP_BUCKET)
-    iy, ny, ry = _axis_indices(my, _CROP_BUCKET)
-    iz, nz, rz = _axis_indices(mz, _CROP_BUCKET)
+    from ..train.cnn_trainer import default_crop_floor
+
+    fl = default_crop_floor() or (0, 0, 0)
+    ix, nx, rx = _axis_indices(mx, _CROP_BUCKET, floor=fl[0])
+    iy, ny, ry = _axis_indices(my, _CROP_BUCKET, floor=fl[1])
+    iz, nz, rz = _axis_indices(mz, _CROP_BUCKET, floor=fl[2])
     out_dtype = jnp.bfloat16 if fast_precision() else jnp.float32
     if vol_t is not None:
         x = _gather_combine_t(vol_t, vox, jnp.asarray(ix), jnp.asarray(iy),
@@ -420,7 +425,9 @@ def predict_one_sample(gnn_forward, cnn_forward, graph, img: np.ndarray,
     tumor_crop = determine_tumor_crop(voxel_logits.argmax(-1))
     x = combine_logits_and_image(voxel_logits, img, tumor_crop)
     true_shape = x.shape[:3]
-    x, _ = pad_to_bucket(x)
+    from ..train.cnn_trainer import default_crop_floor
+
+    x, _ = pad_to_bucket(x, floor=default_crop_floor())
     from ..ops.pallas.precision import fast_precision
 
     if fast_precision():

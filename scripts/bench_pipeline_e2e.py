@@ -55,7 +55,11 @@ def main():
 
     # ---- stage 0: preprocess (fresh output dir, timed) -------------------
     proc = os.path.join(args.out, "proc")
-    env = {**os.environ, "PYTHONPATH": REPO}
+    # PREPEND the repo: the axon TPU plugin itself rides on PYTHONPATH
+    # (/root/.axon_site) — overwriting the var kills the backend in children
+    env = {**os.environ,
+           "PYTHONPATH": REPO + ((os.pathsep + os.environ["PYTHONPATH"])
+                                 if os.environ.get("PYTHONPATH") else "")}
     if not (os.path.isdir(proc) and len(os.listdir(proc)) >= args.samples):
         os.makedirs(proc, exist_ok=True)
         t0 = time.perf_counter()
