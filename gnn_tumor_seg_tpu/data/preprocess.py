@@ -47,6 +47,9 @@ class DataPreprocessor:
                  prep_impl: str = "host", pad_shape="default"):
         self.prep_impl = prep_impl
         self.pad_shape = pad_shape
+        import threading
+
+        self._device_lock = threading.Lock()
         self.num_nodes = num_nodes
         self.num_neighbors = num_neighbors or None   # 0 -> contiguity mode
         self.boxiness = boxiness
@@ -165,10 +168,17 @@ class DataPreprocessor:
               else default_pad_shape())
         if ps is not None:
             ps = tuple(max(p, int(s)) for p, s in zip(ps, raw.shape[:3]))
-        labels_raw, _vol_t, q, step = serve_preprocess_tpu(
-            raw, self.num_nodes, self.boxiness,
-            self.dataset_mean, self.dataset_std, sigma=1.0, pad_shape=ps)
-        del _vol_t    # bulk path: free the resident volume immediately
+        # one device chain in flight at a time: each sample's SLIC program
+        # holds several full-frame volumes in HBM, and N pool threads running
+        # it concurrently OOM the chip (measured RESOURCE_EXHAUSTED at 4
+        # threads). The lock realizes the intended pipeline instead: device
+        # works on sample i while the other threads do host stats/kNN/IO for
+        # earlier samples.
+        with self._device_lock:
+            labels_raw, _vol_t, q, step = serve_preprocess_tpu(
+                raw, self.num_nodes, self.boxiness,
+                self.dataset_mean, self.dataset_std, sigma=1.0, pad_shape=ps)
+            del _vol_t    # bulk path: free the resident volume immediately
         sv = finalize_labels(labels_raw, step)
         a = (1.0 / (q * self.dataset_std)).astype(np.float32)
         b = (-self.dataset_mean / self.dataset_std).astype(np.float32)
