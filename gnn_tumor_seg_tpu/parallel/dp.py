@@ -138,7 +138,10 @@ class ParallelGNNTrainer(GNNTrainer):
         # here even though the parent constructor triggers this build.
         model, cw, tx, mesh = self.model, self.class_weights, self._tx, self.mesh
         impl = self.impl
-        scan_middle = getattr(model, "num_layers", 0) >= 4
+        # same rule as the single-chip step (train/gnn_trainer.py): unrolled
+        # middle layers fuse across layer boundaries (~8% at the flagship
+        # depth 7, CLAUDE.md cost model); scan only for very deep stacks
+        scan_middle = getattr(model, "num_layers", 0) > 8
         ds = NamedSharding(mesh, P("data"))
 
         @functools.partial(jax.jit, donate_argnums=(0,))

@@ -42,7 +42,14 @@ def initialize_multihost(coordinator: str | None = None, num_processes: int | No
     if num_processes is not None and num_processes > 1:
         import os
 
-        if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # The env var alone does not govern the platform on this image (the
+        # TPU plugin force-registers via sitecustomize; tests pin CPU through
+        # jax.config.update) — honor either selection mechanism. Checked
+        # WITHOUT resolving a backend: jax.distributed.initialize must run
+        # before backend initialization.
+        env = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+        cfg = (jax.config.jax_platforms or "").strip().lower()
+        if env == "cpu" or cfg == "cpu":
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(coordinator, num_processes, process_id)
 

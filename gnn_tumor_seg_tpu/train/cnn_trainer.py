@@ -91,8 +91,13 @@ class CNNTrainer:
     def __init__(self, hp: HyperParams, image_dataset=None, logit_dataset=None,
                  seed: int = 0, crop_floor="default"):
         """crop_floor: minimum padded crop shape (edge-replicate, masked
-        loss; valid-region conv outputs are unchanged — replicate padding is
-        a constant extension and k=5 only ever sees 2 planes of it). The
+        loss). Valid-region conv outputs are unchanged only when the 16-
+        bucketed crop already leaves >=2 replicate planes per axis; for axes
+        sized 0 or 15 mod 16 the floored padding replaces the conv's implicit
+        zero padding with replicate rows, shifting outputs within 2 voxels of
+        that crop face (advisor r4). Training and prediction both run floored
+        (cli/common.py), so train/serve see consistent semantics; only
+        pre-floor checkpoints evaluated at such crop shapes shift. The
         default floors typical BraTS tumor crops into ONE compiled step
         shape — data-dependent 16-buckets alone cost a 30-90 s tunnel
         compile per novel bucket (a multi-minute storm on first epochs,

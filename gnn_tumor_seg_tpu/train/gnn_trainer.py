@@ -375,7 +375,18 @@ class GNNTrainer:
                     n_raw, d_raw = data.shape_budget()
                     n_pad = bucket_size(n_raw, NODE_BUCKETS)
                     d_pad = bucket_size(d_raw, DEGREE_BUCKETS)
-                batch = batch_graphs(graphs, n_pad=n_pad, d_pad=d_pad)
+                # pin the tiling unique budget too: graphs carrying Pallas aux
+                # would otherwise pad U to each batch's own max and a batch
+                # composition hitting a new U is a fresh 10-60 s tunnel
+                # compile (advisor r4) — grow the same monotone quantized
+                # budget run_epoch uses
+                if any(g.tiled is not None for g in graphs):
+                    u_obs = max(g.tiled.unique_budget for g in graphs
+                                if g.tiled is not None)
+                    if u_obs > self._u_budget:
+                        self._u_budget = -(-u_obs // 16) * 16
+                batch = batch_graphs(graphs, n_pad=n_pad, d_pad=d_pad,
+                                     u_pad=self._u_budget or None)
                 losses, preds = self._eval_forward(self.state.params, batch)
                 n_batches += 1
                 losses = np.asarray(losses)
