@@ -187,12 +187,23 @@ def _run_halo(args, hp, progress_fp, dataset, mesh, coordinator=True):
     global, partitioned by NODE range over the mesh — samples are not sharded
     per host the way DP shards them), trains with the fold/early-stop contract,
     and evaluates with the reference's 10-metric vector."""
+    import functools
+
+    import jax
+
     from ..parallel.halo_data import build_partitioned_sets
     from ..parallel.halo_trainer import HaloTrainer
 
     n_parts = mesh.shape["data"]
     gpb = args.graphs_per_batch or hp.batch_size
     k = args.num_folds
+    # the halo layers run the single-chip conv implementations, so on TPU the
+    # Pallas kernels apply inside shard_map — build the per-shard tiling aux
+    # at the model's preferred dst-tile (BASELINE.md sweep table)
+    pallas = jax.default_backend() == "tpu"
+    tile = 128 if args.model_type == "GAT" else 64
+    build_partitioned_sets = functools.partial(
+        build_partitioned_sets, tiled=pallas, tile=tile)
 
     def make_trainer(train_batches, variant, w):
         # resume applies to full-dataset runs only (matching the single-device

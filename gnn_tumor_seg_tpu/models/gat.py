@@ -83,8 +83,10 @@ def gat_conv_apply(
         # mixed precision (fast mode): bf16 activations, f32 master params
         # cast at use — grads reach the f32 params through the cast's VJP
         params = {k: v.astype(cd) for k, v in params.items()}
-    h_in = h
     h = _dropout(h, feat_drop, rngs[0])
+    # residual comes from the DROPPED features, matching DGL GATConv
+    # (h_src = h_dst = self.feat_drop(feat); resval = self.res_fc(h_dst))
+    h_in = h
     B, N, _ = h.shape
     z = (h @ params["w"]).reshape(B, N, num_heads, out_feats)
     el = jnp.einsum("bnhf,hf->bnh", z, params["attn_l"])

@@ -51,12 +51,12 @@ class PartitionedBatch:
 
 def union_samples(samples: Sequence) -> tuple[np.ndarray, np.ndarray,
                                               np.ndarray, np.ndarray | None,
-                                              np.ndarray]:
+                                              np.ndarray, np.ndarray | None]:
     """Disjoint union of GraphSamples (same contract as the reference's
     `dgl.batch` + concat, `data_processing/data_loader.py:165-169`).
 
-    Returns (feats, src, dst, labels_or_None, offsets[B+1]); edge endpoints are
-    offset into the union id space.
+    Returns (feats, src, dst, labels_or_None, offsets[B+1],
+    edge_weights_or_None); edge endpoints are offset into the union id space.
     """
     feats = np.concatenate([s.feats for s in samples], axis=0)
     offsets = np.zeros(len(samples) + 1, np.int64)
@@ -68,11 +68,15 @@ def union_samples(samples: Sequence) -> tuple[np.ndarray, np.ndarray,
     labels = None
     if all(s.labels is not None for s in samples):
         labels = np.concatenate([s.labels for s in samples]).astype(np.int32)
-    return feats.astype(np.float32), src, dst, labels, offsets
+    weights = None
+    if all(getattr(s, "edge_weights", None) is not None for s in samples):
+        weights = np.concatenate(
+            [s.edge_weights for s in samples]).astype(np.float32)
+    return feats.astype(np.float32), src, dst, labels, offsets, weights
 
 
 def _collect_raw(dataset, indices: Sequence[int], graphs_per_batch: int):
-    """[(feats, src, dst, labels, offsets, ids)] for each union chunk."""
+    """[(feats, src, dst, labels, offsets, weights, ids)] per union chunk."""
     indices = list(indices)
     raw = []
     for i in range(0, len(indices), graphs_per_batch):
@@ -81,6 +85,27 @@ def _collect_raw(dataset, indices: Sequence[int], graphs_per_batch: int):
         ids = [dataset.ids[int(j)] for j in chunk]
         raw.append((*union_samples(samples), ids))
     return raw
+
+
+def _common_aux_budget(batches: Sequence["PartitionedBatch"]) -> None:
+    """Pad every batch's Pallas aux to one unique budget so a single compiled
+    step serves them all (same rationale as GNNTrainer's monotone _u_budget)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    auxes = [b.pg.tiled for b in batches if b.pg.tiled is not None]
+    if not auxes:
+        return
+    u_max = max(a.unique_budget for a in auxes)
+    for b in batches:
+        a = b.pg.tiled
+        if a is None or a.unique_budget == u_max:
+            continue
+        pad = u_max - a.unique_budget
+        # extra uniq entries point at row 0, which no lidx slot references
+        uniq = jnp.pad(jnp.asarray(a.uniq), ((0, 0), (0, 0), (0, pad)))
+        b.pg = _dc.replace(b.pg, tiled=_dc.replace(a, uniq=uniq))
 
 
 def _natural_shapes(n: int, dst, n_parts: int) -> tuple[int, int]:
@@ -94,17 +119,21 @@ def _natural_shapes(n: int, dst, n_parts: int) -> tuple[int, int]:
 def build_partitioned_sets(dataset, n_parts: int, graphs_per_batch: int,
                            variant: str = "all_gather",
                            groups: Sequence[Sequence[int]] = (),
+                           tiled: bool = False, tile: int | None = None,
                            ) -> tuple[list[list[PartitionedBatch]], str,
                                       int | None]:
     """Partition several index groups (e.g. [train_idx, val_idx]) with ONE
-    common (shard, degree, halo) shape, so the same compiled step — and for
-    p2p the same fixed-exchange-width model — serves every batch of every
-    group.
+    common (shard, degree, halo, tiling-U) shape, so the same compiled step —
+    and for p2p the same fixed-exchange-width model — serves every batch of
+    every group.
 
     variant="p2p" uses the boundary-only ppermute exchange where the unions'
     edge structure allows it (contiguous SLIC ids give 1-shard locality); if
     ANY chunk violates it, ALL groups fall back to all_gather (mixing exchange
     variants would need two models and defeat the shape pinning).
+
+    tiled=True builds the Pallas tile-compaction aux per shard (pass the
+    model's preferred_tile) so HaloTrainer can run impl='pallas'.
 
     Returns (batches_per_group, variant_used, halo_width_or_None).
     """
@@ -122,9 +151,12 @@ def build_partitioned_sets(dataset, n_parts: int, graphs_per_batch: int,
         out = []
         for group in raws:
             batches = []
-            for feats, src, dst, labels, offsets, ids in group:
-                batches.append(partition(feats, src, dst, labels, offsets, ids))
+            for feats, src, dst, labels, offsets, weights, ids in group:
+                batches.append(partition(feats, src, dst, labels, offsets,
+                                         weights, ids))
             out.append(batches)
+        for batches in out:
+            _common_aux_budget(batches)
         return out
 
     if variant == "p2p":
@@ -138,11 +170,13 @@ def build_partitioned_sets(dataset, n_parts: int, graphs_per_batch: int,
                                            d_pad_to=d_max)
                 w_max = max(w_max, w)
 
-            def p2p(feats, src, dst, labels, offsets, ids):
+            def p2p(feats, src, dst, labels, offsets, weights, ids):
                 pg, w = partition_graph_p2p(feats, src, dst, labels, n_parts,
                                             shard_pad_to=shard_max,
                                             d_pad_to=d_max,
-                                            halo_pad_to=w_max)
+                                            halo_pad_to=w_max,
+                                            edge_weights=weights,
+                                            tiled=tiled, tile=tile)
                 assert w == w_max
                 return PartitionedBatch(pg, "p2p", w, ids, offsets,
                                         feats.shape[0])
@@ -151,9 +185,10 @@ def build_partitioned_sets(dataset, n_parts: int, graphs_per_batch: int,
         except ValueError as e:
             print(f"halo p2p unavailable ({e}); falling back to all_gather")
 
-    def ag(feats, src, dst, labels, offsets, ids):
+    def ag(feats, src, dst, labels, offsets, weights, ids):
         pg = partition_graph(feats, src, dst, labels, n_parts,
-                             shard_pad_to=shard_max, d_pad_to=d_max)
+                             shard_pad_to=shard_max, d_pad_to=d_max,
+                             edge_weights=weights, tiled=tiled, tile=tile)
         return PartitionedBatch(pg, "all_gather", None, ids, offsets,
                                 feats.shape[0])
 
@@ -163,12 +198,14 @@ def build_partitioned_sets(dataset, n_parts: int, graphs_per_batch: int,
 def build_partitioned_batches(dataset, n_parts: int, graphs_per_batch: int,
                               variant: str = "all_gather",
                               indices: Sequence[int] | None = None,
+                              tiled: bool = False, tile: int | None = None,
                               ) -> list[PartitionedBatch]:
     """Single-group convenience wrapper around build_partitioned_sets."""
     if indices is None:
         indices = range(len(dataset))
     sets, _, _ = build_partitioned_sets(dataset, n_parts, graphs_per_batch,
-                                        variant, [list(indices)])
+                                        variant, [list(indices)],
+                                        tiled=tiled, tile=tile)
     return sets[0]
 
 

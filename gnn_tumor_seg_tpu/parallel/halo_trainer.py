@@ -43,26 +43,32 @@ def init_halo_net(model_type: str, hp: HyperParams, mesh: Mesh,
 
     variant: "all_gather" (any edge structure) or "p2p" (boundary-only
     ppermute exchange; needs a partition_graph_p2p graph + its halo_width).
+    hp.feature_dropout is honored in every regime (the halo layers share the
+    single-chip implementation since round 5).
     """
     if variant not in ("all_gather", "p2p"):
         raise ValueError(f"unknown halo variant {variant!r}")
     if variant == "p2p" and halo_width is None:
         raise ValueError("variant='p2p' requires halo_width")
+    dropout = getattr(hp, "feature_dropout", 0) or 0
     if model_type in _SAGE_AGG:
         agg = _SAGE_AGG[model_type]
         if variant == "p2p":
             return HaloGraphSageP2P(hp.in_feats, hp.layer_sizes,
                                     hp.out_classes, agg, mesh,
-                                    halo_width=halo_width, axis=axis)
+                                    halo_width=halo_width, axis=axis,
+                                    dropout=dropout)
         return HaloGraphSage(hp.in_feats, hp.layer_sizes, hp.out_classes,
-                             agg, mesh, axis=axis)
+                             agg, mesh, axis=axis, dropout=dropout)
     if model_type == "GAT":
         if variant == "p2p":
             return HaloGATP2P(hp.in_feats, hp.layer_sizes, hp.out_classes,
                               hp.gat_heads, hp.gat_residuals, mesh,
-                              halo_width=halo_width, axis=axis)
+                              halo_width=halo_width, axis=axis,
+                              feat_drop=dropout)
         return HaloGAT(hp.in_feats, hp.layer_sizes, hp.out_classes,
-                       hp.gat_heads, hp.gat_residuals, mesh, axis=axis)
+                       hp.gat_heads, hp.gat_residuals, mesh, axis=axis,
+                       feat_drop=dropout)
     raise ValueError(f"Unknown model type: {model_type}")
 
 
@@ -71,27 +77,39 @@ def shard_partitioned(pg: PartitionedGraph, mesh: Mesh,
     """Place a PartitionedGraph with its leading shard axis on the mesh axis,
     so each device holds only its own node shard in HBM.
 
+    Own-node arrays split over the mesh axis; the neighbor table (and its
+    Pallas aux) splits likewise for the p2p layout ([S, N_ext, D]) but
+    replicates for the all_gather layout ([N_tot, D] — detected by ndim).
+
     Multi-host: every process holds the full host-side arrays (the union is
     built identically on all hosts) and hands each local device just its slice
     via make_array_from_callback — device_put cannot target non-addressable
     devices."""
     import numpy as np
 
-    ns = NamedSharding(mesh, P(axis))
+    sharded = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
     if jax.process_count() > 1:
-        def put(x):
+        def place(x, ns):
             if x is None:
                 return None
             h = np.asarray(x)
             return jax.make_array_from_callback(h.shape, ns,
                                                 lambda idx: h[idx])
     else:
-        def put(x):
+        def place(x, ns):
             return None if x is None else jax.device_put(x, ns)
+    table_ns = sharded if pg.nbr.ndim == 3 else replicated
+    put = lambda x: place(x, sharded)
+    put_t = lambda x: place(x, table_ns)
+    tiled = pg.tiled
+    if tiled is not None:
+        tiled = jax.tree_util.tree_map(put_t, tiled)
     return dataclasses.replace(
-        pg, nbr=put(pg.nbr), nbr_mask=put(pg.nbr_mask),
+        pg, nbr=put_t(pg.nbr), nbr_mask=put_t(pg.nbr_mask),
         node_mask=put(pg.node_mask), feats=put(pg.feats),
         labels=put(pg.labels),
+        edge_weight=put_t(pg.edge_weight), tiled=tiled,
     )
 
 
@@ -107,13 +125,32 @@ class HaloTrainer:
                  graphs: Sequence[PartitionedGraph], mesh: Mesh,
                  variant: str = "all_gather", halo_width: int | None = None,
                  axis: str = "data", seed: int = 0,
-                 resume_from: str | None = None):
+                 resume_from: str | None = None,
+                 impl: str | None = None, precision: str | None = None):
+        import os
+
         self.model_type = model_type
         self.hp = hp
         self.mesh = mesh
         self.axis = axis
         self.model = init_halo_net(model_type, hp, mesh, axis=axis,
                                    variant=variant, halo_width=halo_width)
+        # same impl/precision policy as the single-chip GNNTrainer: Pallas
+        # one-hot-MXU kernels + bf16 fast mode on TPU (the kernels run inside
+        # shard_map on each device's extended buffer), dense/exact elsewhere.
+        # Note impl='pallas' needs partitions built with tiled=True.
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "dense"
+        if impl == "pallas" and any(g.tiled is None for g in graphs):
+            print("halo: partitions lack Pallas tiling aux (build with "
+                  "tiled=True); falling back to impl='dense'")
+            impl = "dense"
+        self.impl = impl
+        if precision is None:
+            precision = os.environ.get("GTS_PALLAS_PRECISION", "fast")
+        assert precision in ("exact", "fast"), precision
+        self.precision = precision
+        self._seed = seed
         self.class_weights = jnp.asarray(hp.class_weights, jnp.float32)
         self.graphs = [shard_partitioned(g, mesh, axis) for g in graphs]
 
@@ -132,21 +169,30 @@ class HaloTrainer:
 
     # ------------------------------------------------------------------ step
     def _build_step(self):
-        model, cw, tx = self.model, self.class_weights, self._tx
+        model, cw, tx, impl = self.model, self.class_weights, self._tx, self.impl
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(state, pg: PartitionedGraph):
+        def step(state, pg: PartitionedGraph, rng):
             loss, grads = jax.value_and_grad(
-                lambda p: model.loss(p, pg, cw))(state.params)
+                lambda p: model.loss(p, pg, cw, train=True, rng=rng,
+                                     impl=impl))(state.params)
             return apply_updates(tx, state, grads), loss
 
         return step
 
     def run_epoch(self) -> float:
+        from ..ops.pallas.precision import precision_scope
+
+        # epoch-keyed dropout RNG, like GNNTrainer.run_epoch: resume from a
+        # checkpoint at epoch k draws exactly like an uninterrupted run
+        epoch = int(self.state.epoch)
+        key = jax.random.fold_in(jax.random.PRNGKey(self._seed + 1), epoch)
         total = 0.0
-        for pg in self.graphs:
-            self.state, loss = self._step(self.state, pg)
-            total += float(loss)
+        with precision_scope(self.precision):
+            for pg in self.graphs:
+                key, sub = jax.random.split(key)
+                self.state, loss = self._step(self.state, pg, sub)
+                total += float(loss)
         self.state = self.state.next_epoch()
         return total / max(len(self.graphs), 1)
 
