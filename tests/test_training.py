@@ -280,3 +280,20 @@ def test_evaluate_batched_path_matches_serial():
     assert trainer.last_eval_stats["batches"] == 5
     np.testing.assert_allclose(m_b, m_s, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(c_b, c_s)
+
+
+def test_evaluate_batched_path_gat():
+    """The batched+threaded evaluate also serves GAT models (it was only
+    exercised with GraphSage before — VERDICT r4 item 9)."""
+    data = SyntheticGraphDataset(n_samples=4, grid=5, seed=11)
+    hp = small_hp()
+    hp.gat_heads, hp.gat_residuals = [2, 2], [False, True]
+    trainer = GNNTrainer("GAT", hp, data, seed=0)
+    for _ in range(2):
+        trainer.run_epoch()
+    m_b, c_b = trainer.evaluate(data, batch_size=2, workers=4)
+    assert trainer.last_eval_stats["batches"] == 2
+    assert np.isfinite(m_b).all() and c_b.sum() > 0
+    m_s, c_s = trainer.evaluate(data, batch_size=1, workers=1)
+    np.testing.assert_allclose(m_b, m_s, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(c_b, c_s)
