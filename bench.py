@@ -71,6 +71,49 @@ def time_steps(step, state, graph, n_steps, label=""):
     return (time.perf_counter() - t0) / n_steps
 
 
+def bench_halo_1dev(batch, n_nodes, k, device):
+    """1-device p2p halo step at flagship scale: the 6-graph batch laid out as
+    ONE 42k-node union partitioned into a single shard. Since round 5 the
+    halo layers ARE the single-chip conv implementations running on the
+    extended buffer, so this must land within relay variance of the
+    single-chip step (VERDICT r4 item 1 'done' criterion)."""
+    import functools
+
+    from __graft_entry__ import _synthetic_graph
+    from gnn_tumor_seg_tpu.config import HyperParams
+    from gnn_tumor_seg_tpu.parallel.halo import (HaloGraphSageP2P,
+                                                 partition_graph_p2p)
+    from gnn_tumor_seg_tpu.train.losses import weighted_cross_entropy  # noqa: F401
+    from gnn_tumor_seg_tpu.train.optim import apply_updates, make_train_state
+    from jax.sharding import Mesh
+
+    parts = [_synthetic_graph(n_nodes=n_nodes, k=k, seed=i, raw=True)
+             for i in range(batch)]
+    feats = np.concatenate([p[0] for p in parts])
+    src = np.concatenate([p[1] + i * n_nodes for i, p in enumerate(parts)])
+    dst = np.concatenate([p[2] + i * n_nodes for i, p in enumerate(parts)])
+    labels = np.concatenate([p[3] for p in parts])
+    pg, W = partition_graph_p2p(feats, src, dst, labels, n_parts=1,
+                                tiled=True, tile=64)
+    mesh = Mesh(np.asarray([device]).reshape(1, 1), ("data", "model"))
+    hp = HyperParams(layer_sizes=[256] * 6)
+    halo = HaloGraphSageP2P(hp.in_feats, hp.layer_sizes, hp.out_classes,
+                            "pool", mesh, halo_width=W)
+    params = halo.init(jax.random.PRNGKey(0))
+    state, tx = make_train_state(params, hp.lr, hp.lr_decay, hp.w_decay)
+    state = jax.device_put(state, device)
+    pg = jax.device_put(pg, device)
+    cw = jax.device_put(jnp.asarray(hp.class_weights, jnp.float32), device)
+
+    @jax.jit
+    def step(state, pg):
+        loss, grads = jax.value_and_grad(
+            lambda p: halo.loss(p, pg, cw, impl="pallas"))(state.params)
+        return apply_updates(tx, state, grads), loss
+
+    return time_steps(step, state, pg, n_steps=10, label="halo-1dev"), W
+
+
 def bench_gat(raw_graphs, device):
     """Secondary config: GAT (4 hidden x 256, 4 heads, residuals) step time."""
     from gnn_tumor_seg_tpu.config import HyperParams
@@ -125,6 +168,31 @@ def main():
     tpu_eps = edges_per_step / t_tpu
     log(f"[bench] tpu step {t_tpu*1e3:.2f} ms -> {tpu_eps:.3e} edges/s")
 
+    # exact-mode (hi/lo f32) flagship step: reported alongside so the
+    # headline no longer mixes precision modes against the exact-f32 CPU
+    # baseline (VERDICT r4 item 8)
+    t_exact = None
+    if impl == "pallas" and get_precision_mode() == "fast" and \
+            os.environ.get("GTS_BENCH_SKIP_EXACT") != "1":
+        try:
+            from gnn_tumor_seg_tpu.ops.pallas.precision import precision_scope
+
+            with precision_scope("exact"):
+                step_e, state_e, g_e = build_step(model, hp, graph, tpu)
+                t_exact = time_steps(step_e, state_e, g_e, n_steps=10,
+                                     label="tpu-exact")
+            log(f"[bench] tpu exact step {t_exact*1e3:.2f} ms")
+        except Exception as e:
+            log(f"[bench] exact-mode config failed: {e}")
+
+    t_halo = halo_w = None
+    if impl == "pallas" and os.environ.get("GTS_BENCH_SKIP_HALO") != "1":
+        try:
+            t_halo, halo_w = bench_halo_1dev(batch, n_nodes, k, tpu)
+            log(f"[bench] halo-1dev step {t_halo*1e3:.2f} ms (W={halo_w})")
+        except Exception as e:
+            log(f"[bench] halo-1dev config failed: {e}")
+
     t_gat = None
     if os.environ.get("GTS_BENCH_SKIP_GAT") != "1":
         try:
@@ -166,6 +234,14 @@ def main():
             "k": k,
             "step_ms": round(t_tpu * 1e3, 2),
             "cpu_step_ms": round(t_cpu * 1e3, 2) if cpu_eps else None,
+            "exact_step_ms": round(t_exact * 1e3, 2) if t_exact else None,
+            # exact-vs-exact ratio: same hi/lo-f32 kernel precision as the
+            # pinned exact-f32 CPU baseline (the headline vs_baseline pairs
+            # fast/bf16 TPU against that baseline by design — both reported)
+            "vs_baseline_exact": (round(edges_per_step / t_exact / cpu_eps, 2)
+                                  if t_exact and cpu_eps else None),
+            "halo_1dev_step_ms": round(t_halo * 1e3, 2) if t_halo else None,
+            "halo_1dev_width": halo_w,
             "gat_step_ms": round(t_gat * 1e3, 2) if t_gat else None,
             "precision_mode": get_precision_mode(),
             # vs_baseline divides by this repo's own dense-XLA step on the host
