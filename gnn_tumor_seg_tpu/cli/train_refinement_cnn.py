@@ -46,7 +46,8 @@ def document_metrics(fp, description, metrics):
 
 def train_on_full_dataset(args, hp, progress_fp, image_dataset, logit_dataset):
     print("Training on full dataset")
-    model = CNNTrainer(hp, image_dataset, logit_dataset)
+    model = CNNTrainer(hp, image_dataset, logit_dataset,
+                       precision=args.precision)
     folds.train_on_fold(model, args.output_dir + os.sep, hp.n_epochs,
                         args.run_name, 1, log_fp=progress_fp + ".jsonl")
     document_metrics(progress_fp, f"{args.run_name}_full",
@@ -61,7 +62,8 @@ def run_k_fold_val(args, hp, progress_fp, image_dataset, logit_dataset, k):
         train_idx = list(range(0, s)) + list(range(e, n))
         train_ids = [image_dataset.ids[i] for i in train_idx]
         print(f"Fold contains {len(train_ids)} examples")
-        model = CNNTrainer(hp, _ImageSubset(image_dataset, train_idx), logit_dataset)
+        model = CNNTrainer(hp, _ImageSubset(image_dataset, train_idx),
+                           logit_dataset, precision=args.precision)
         fold = fold_idx + 1
         folds.train_on_fold(model, args.output_dir + os.sep, hp.n_epochs,
                             args.run_name, fold, log_fp=progress_fp + ".jsonl")
@@ -82,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-k", "--num_folds", default=5, type=int)
     p.add_argument("-p", "--data_prefix", default="", type=str)
     p.add_argument("-x", "--random_hyperparams", action="store_true")
+    p.add_argument("--precision", default="fast", choices=("exact", "fast"),
+                   help="conv precision mode; 'fast' (bf16) matches the "
+                        "serve/warmup default so train and serve share one "
+                        "compiled (and persistent-cached) conv program per "
+                        "crop shape")
     p.add_argument("--hp", action="append", default=[], metavar="KEY=VAL",
                    help="override a HyperParams field (Python-literal "
                         "values; repeatable) — see cli.train_gnn")

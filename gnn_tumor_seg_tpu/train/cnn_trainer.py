@@ -89,7 +89,8 @@ def default_crop_floor() -> tuple[int, int, int] | None:
 
 class CNNTrainer:
     def __init__(self, hp: HyperParams, image_dataset=None, logit_dataset=None,
-                 seed: int = 0, crop_floor="default"):
+                 seed: int = 0, crop_floor="default",
+                 precision: str | None = None):
         """crop_floor: minimum padded crop shape (edge-replicate, masked
         loss). Valid-region conv outputs are unchanged only when the 16-
         bucketed crop already leaves >=2 replicate planes per axis; for axes
@@ -105,6 +106,22 @@ class CNNTrainer:
         None restores pure 16-bucketing."""
         self.crop_floor = (default_crop_floor() if crop_floor == "default"
                            else crop_floor)
+        # conv precision mode, scoped around every step/forward call like
+        # GNNTrainer: default 'fast' (bf16 convs — the serve/warmup default).
+        # IMPORTANT for compile cost: the mode is baked into the traced
+        # program and therefore into the XLA persistent-cache key. The
+        # round-4 "CNN conv never hits the persistent cache across
+        # processes" was exactly this — the train CLI traced exact/f32 convs
+        # while serve/warmup traced fast/bf16 ones (measured round 5:
+        # matched-config second process loads the conv step from cache in
+        # 0.7 s vs the 80-300 s autotune compile; a mismatched
+        # matmul-precision config recompiles from scratch).
+        import os as _os
+
+        if precision is None:
+            precision = _os.environ.get("GTS_PALLAS_PRECISION", "fast")
+        assert precision in ("exact", "fast"), precision
+        self.precision = precision
         self.hp = hp
         self.net = CnnRefinementNet(hp.in_feats, hp.out_classes, hp.layer_sizes)
         self.params = self.net.init(jax.random.PRNGKey(seed))
@@ -176,7 +193,10 @@ class CNNTrainer:
             if prep is None:
                 continue
             (x, lab, mask), _ = prep
-            self.state, loss = self._step(self.state, x, lab, mask)
+            from ..ops.pallas.precision import precision_scope
+
+            with precision_scope(self.precision):
+                self.state, loss = self._step(self.state, x, lab, mask)
             losses.append(loss)
         self.state = self.state.next_epoch()
         return float(np.mean([jax.device_get(l) for l in losses]))
@@ -195,7 +215,10 @@ class CNNTrainer:
             if prep is None:
                 continue
             (x, lab, mask), crop = prep
-            logits = self._forward(self.state.params, x)
+            from ..ops.pallas.precision import precision_scope
+
+            with precision_scope(self.precision):
+                logits = self._forward(self.state.params, x)
             loss = weighted_cross_entropy(logits, lab, self.class_weights, mask)
             preds = np.asarray(jnp.argmax(logits, -1))[0]
             true = labels[crop]
@@ -207,7 +230,10 @@ class CNNTrainer:
 
     def predict_crop(self, x: jax.Array) -> np.ndarray:
         """Logits for one prepared [1,dx,dy,dz,8] input."""
-        return np.asarray(self._forward(self.state.params, x))
+        from ..ops.pallas.precision import precision_scope
+
+        with precision_scope(self.precision):
+            return np.asarray(self._forward(self.state.params, x))
 
     # ------------------------------------------------------------------ io
     def save_weights(self, folder: str, name: str,
