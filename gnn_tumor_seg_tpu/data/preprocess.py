@@ -50,6 +50,9 @@ class DataPreprocessor:
         import threading
 
         self._device_lock = threading.Lock()
+        # at most 2 samples between staging and label-pull: one computing,
+        # one with its upload in flight (bounds staged HBM buffers)
+        self._stage_sem = threading.Semaphore(2)
         self.num_nodes = num_nodes
         self.num_neighbors = num_neighbors or None   # 0 -> contiguity mode
         self.boxiness = boxiness
@@ -168,17 +171,27 @@ class DataPreprocessor:
               else default_pad_shape())
         if ps is not None:
             ps = tuple(max(p, int(s)) for p, s in zip(ps, raw.shape[:3]))
-        # one device chain in flight at a time: each sample's SLIC program
+        # one device CHAIN in flight at a time: each sample's SLIC program
         # holds several full-frame volumes in HBM, and N pool threads running
         # it concurrently OOM the chip (measured RESOURCE_EXHAUSTED at 4
-        # threads). The lock realizes the intended pipeline instead: device
-        # works on sample i while the other threads do host stats/kNN/IO for
-        # earlier samples.
-        with self._device_lock:
-            labels_raw, _vol_t, q, step = serve_preprocess_tpu(
-                raw, self.num_nodes, self.boxiness,
-                self.dataset_mean, self.dataset_std, sigma=1.0, pad_shape=ps)
-            del _vol_t    # bulk path: free the resident volume immediately
+        # threads). The lock covers only the compute dispatch; the ~40 MB
+        # H2D staging (async jax.device_put) happens BEFORE taking it and the
+        # label D2H AFTER releasing it, so sample i's relay transfers overlap
+        # sample i-1's device compute (the bulk path is relay-leg-bound —
+        # round-5 A/B). The semaphore bounds staged-but-unconsumed buffers.
+        from ..ops.slic_tpu import pull_serve_labels, stage_serve_upload
+
+        with self._stage_sem:
+            dev_buf = stage_serve_upload(raw)            # async H2D
+            with self._device_lock:
+                flat_lab, _vol_t, q, step = serve_preprocess_tpu(
+                    raw, self.num_nodes, self.boxiness,
+                    self.dataset_mean, self.dataset_std, sigma=1.0,
+                    pad_shape=ps, staged_dev=dev_buf, pull=False)
+                del _vol_t    # bulk path: free the resident volume immediately
+            del dev_buf
+            X, Y, Z = raw.shape[:3]
+            labels_raw = pull_serve_labels(flat_lab, X, Y, Z)
         sv = finalize_labels(labels_raw, step)
         a = (1.0 / (q * self.dataset_std)).astype(np.float32)
         b = (-self.dataset_mean / self.dataset_std).astype(np.float32)

@@ -407,6 +407,32 @@ def _check_smooth_extent(dims, sigma: float) -> None:
             f"(smooth_impl='host') or use a larger volume")
 
 
+def stage_serve_upload(image_raw: np.ndarray, input_dtype=np.float32):
+    """Host staging + ASYNC H2D of serve_preprocess_tpu's flat wire buffer.
+
+    jax.device_put returns immediately, so a bulk-preprocess pool thread can
+    ship sample i's ~40 MB over the relay while the device lock is still held
+    for sample i-1's SLIC chain — pipelining the H2D leg (1-2 s/brain at the
+    relay's ~30-50 MB/s) against device compute instead of serializing them
+    (round-5 throughput lever). Pass the result as serve_preprocess_tpu's
+    `staged_dev`; identical bytes/numerics to the internal staging path."""
+    image_raw = np.asarray(image_raw, np.float32)
+    if image_raw.ndim == 3:
+        image_raw = image_raw[..., None]
+    X, Y, Z, C = image_raw.shape
+    wire = np.dtype(input_dtype)
+    staged = image_raw
+    if image_raw.size and float(np.abs(image_raw).max()) < np.iinfo(np.int16).max:
+        i16 = image_raw.astype(np.int16)
+        if np.array_equal(i16, image_raw):
+            wire, staged = np.dtype(np.int16), i16
+    V = X * Y * Z
+    VB = -(-V // VOX_BUCKET) * VOX_BUCKET
+    buf = np.zeros((VB, C), wire)
+    buf[:V] = staged.reshape(V, C)
+    return jax.device_put(buf)
+
+
 def serve_preprocess_tpu(
     image_raw: np.ndarray,
     n_segments: int,
@@ -418,6 +444,8 @@ def serve_preprocess_tpu(
     max_iter: int = 10,
     pad_shape: tuple[int, int, int] | None = None,
     input_dtype=np.float32,
+    staged_dev=None,
+    pull: bool = True,
 ):
     """Single-upload serve preprocessing: raw cropped volume in, quantile
     normalization + standardization + Gaussian smoothing + SLIC assignment all
@@ -431,6 +459,11 @@ def serve_preprocess_tpu(
     precision).
 
     image_raw: (X, Y, Z, C) raw cropped intensities (pre-normalization).
+    staged_dev: optional pre-shipped wire buffer from stage_serve_upload
+    (image_raw is then used for shapes/dtype decisions only, not uploaded).
+    pull=False returns the flat label buffer still on device (first element of
+    the result) — call pull_serve_labels on it after releasing any device
+    lock, so the D2H leg can overlap the next sample's compute.
     Returns (labels (X,Y,Z) int32 raw assignment — run `finalize_labels` for
     connectivity/relabel; dev_std device [C, Xp, Zp, Yp] f32 standardized
     volume with zero pads in the transposed (X, Z, Y) frame; q np [C]
@@ -446,26 +479,32 @@ def serve_preprocess_tpu(
     else:
         Xp, Yp, Zp = (max(p, s) for p, s in zip(pad_shape, (X, Y, Z)))
 
-    # wire format: prefer EXACT int16 when the raw data is integral (BraTS
-    # sources are int16 NIfTIs) — same bytes as the bf16 fast-mode wire with
-    # zero quantization, and half the exact-mode f32 wire
-    wire = np.dtype(input_dtype)
-    staged = image_raw
-    if image_raw.size and float(np.abs(image_raw).max()) < np.iinfo(np.int16).max:
-        i16 = image_raw.astype(np.int16)
-        if np.array_equal(i16, image_raw):
-            wire, staged = np.dtype(np.int16), i16
-    # flat bucketed upload: ship only the cropped volume's real bytes; the
-    # device rebuilds the padded transposed frame (_unflatten_t)
     V = X * Y * Z
     VB = -(-V // VOX_BUCKET) * VOX_BUCKET
-    buf = np.zeros((VB, C), wire)
-    buf[:V] = staged.reshape(V, C)
+    if staged_dev is not None:
+        dev_buf = staged_dev
+        assert dev_buf.shape == (VB, C), (dev_buf.shape, (VB, C))
+    else:
+        # wire format: prefer EXACT int16 when the raw data is integral (BraTS
+        # sources are int16 NIfTIs) — same bytes as the bf16 fast-mode wire
+        # with zero quantization, and half the exact-mode f32 wire
+        wire = np.dtype(input_dtype)
+        staged = image_raw
+        if image_raw.size and \
+                float(np.abs(image_raw).max()) < np.iinfo(np.int16).max:
+            i16 = image_raw.astype(np.int16)
+            if np.array_equal(i16, image_raw):
+                wire, staged = np.dtype(np.int16), i16
+        # flat bucketed upload: ship only the cropped volume's real bytes; the
+        # device rebuilds the padded transposed frame (_unflatten_t)
+        buf = np.zeros((VB, C), wire)
+        buf[:V] = staged.reshape(V, C)
+        dev_buf = jnp.asarray(buf)
 
     wa = jnp.asarray((np.arange(Xp) < X).astype(np.float32))
     wb = jnp.asarray((np.arange(Zp) < Z).astype(np.float32))
     wd = jnp.asarray((np.arange(Yp) < Y).astype(np.float32))
-    img_dev = _unflatten_t(jnp.asarray(buf), jnp.int32(Y), jnp.int32(Z),
+    img_dev = _unflatten_t(dev_buf, jnp.int32(Y), jnp.int32(Z),
                            wa, wb, wd)
     # order-statistic positions in f64 on host (m is known exactly here)
     m = X * Y * Z
@@ -489,9 +528,17 @@ def serve_preprocess_tpu(
     assign, step = _assign_core(smoothed, X, Y, Z, n_segments, compactness,
                                 max_iter)
     flat_lab = _flatten_labels_t(assign, jnp.int32(Y), jnp.int32(Z), vb=VB)
+    if not pull:
+        return flat_lab, dev_std, q, step
+    return pull_serve_labels(flat_lab, X, Y, Z), dev_std, q, step
+
+
+def pull_serve_labels(flat_lab, X: int, Y: int, Z: int) -> np.ndarray:
+    """Blocking D2H + reshape of serve_preprocess_tpu's flat label buffer
+    (the pull=False deferred half)."""
+    V = X * Y * Z
     labels = np.asarray(flat_lab)[:V].astype(np.int32, copy=False)
-    labels = labels.reshape(X, Y, Z)
-    return labels, dev_std, q, step
+    return labels.reshape(X, Y, Z)
 
 
 def finalize_labels(labels: np.ndarray, step: float,
