@@ -83,7 +83,6 @@ def bench_halo_1dev(batch, n_nodes, k, device):
     from gnn_tumor_seg_tpu.config import HyperParams
     from gnn_tumor_seg_tpu.parallel.halo import (HaloGraphSageP2P,
                                                  partition_graph_p2p)
-    from gnn_tumor_seg_tpu.train.losses import weighted_cross_entropy  # noqa: F401
     from gnn_tumor_seg_tpu.train.optim import apply_updates, make_train_state
     from jax.sharding import Mesh
 

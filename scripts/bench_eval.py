@@ -36,7 +36,8 @@ enable_host_alloc_reuse()
 import numpy as np
 
 
-def build_dataset(workdir: str, samples: int, num_nodes: int):
+def build_dataset(workdir: str, samples: int, num_nodes: int,
+                  radii=(36, 24, 12)):
     from full_scale_smoke import make_brain
     from gnn_tumor_seg_tpu.data import nifti
     from gnn_tumor_seg_tpu.data.preprocess import DataPreprocessor
@@ -51,7 +52,7 @@ def build_dataset(workdir: str, samples: int, num_nodes: int):
             if os.path.isdir(d):
                 continue
             os.makedirs(d)
-            mods, labels = make_brain(rng)
+            mods, labels = make_brain(rng, radii=radii)
             for vol, ext in zip(mods, ["_flair.nii.gz", "_t1.nii.gz",
                                        "_t1ce.nii.gz", "_t2.nii.gz"]):
                 nifti.write_nifti(vol, os.path.join(d, f"case{ext}"))

@@ -29,14 +29,14 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def ensure_raw(workdir: str, samples: int) -> str:
+def ensure_raw(workdir: str, samples: int, radii=(36, 24, 12)) -> str:
     from bench_eval import build_dataset  # generates raw/ as a side effect
 
     raw = os.path.join(workdir, "raw")
     if not (os.path.isdir(raw) and len(os.listdir(raw)) >= samples):
         # build_dataset also preprocesses; we only need raw/ here, but the
         # shared cache means bench_eval reuses the same artifacts
-        build_dataset(workdir, samples, 15000)
+        build_dataset(workdir, samples, 15000, radii=radii)
     return raw
 
 
@@ -48,9 +48,14 @@ def main():
     ap.add_argument("--gnn_args", type=str,
                     default="--hp layer_sizes=[256,256,256,256,256,256]",
                     help="extra train_gnn args (default: flagship 7x256)")
+    ap.add_argument("--radii", type=str, default="36,24,12",
+                    help="edema,NCR/NET,ET synthetic tumor radii — use e.g. "
+                         "44,32,20 for an ET-resolvable validation run "
+                         "(the default ET core sits at graph granularity)")
     args = ap.parse_args()
 
-    raw = ensure_raw(args.workdir, args.samples)
+    radii = tuple(int(v) for v in args.radii.split(","))
+    raw = ensure_raw(args.workdir, args.samples, radii=radii)
     stages = {}
 
     # ---- stage 0: preprocess (fresh output dir, timed) -------------------
@@ -125,6 +130,7 @@ def main():
         "dice_wt_ct_et": [round(float(d), 4) for d in dice],
         "hd95_wt_ct_et": [round(float(h), 2) for h in hd],
         "gnn_args": args.gnn_args,
+        "radii": list(radii),
     }
     print(json.dumps({
         "metric": "pipeline_e2e_total_s",

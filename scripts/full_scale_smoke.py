@@ -24,7 +24,12 @@ enable_compilation_cache()
 import numpy as np
 
 
-def make_brain(rng, shape=(240, 240, 155)):
+def make_brain(rng, shape=(240, 240, 155), radii=(36, 24, 12)):
+    """radii = (edema, NCR/NET, ET) sphere radii. The default ET core
+    (r=12, ~7k voxels ≈ 4 supervoxels at the 15k reference scale) sits at
+    graph granularity — fine for throughput benches, too small to validate
+    ET-region learning; pass e.g. (44, 32, 20) for an ET-resolvable brain
+    (scripts/validate_et_quality.py)."""
     grid = np.stack(np.meshgrid(*[np.arange(s) for s in shape], indexing="ij"), -1)
     center = np.array(shape) / 2 + rng.integers(-10, 11, 3)
     r = np.linalg.norm((grid - center) / (np.array(shape) / 2.4), axis=-1)
@@ -32,9 +37,9 @@ def make_brain(rng, shape=(240, 240, 155)):
     tumor_c = center + rng.integers(-40, 41, 3)
     tr = np.linalg.norm(grid - tumor_c, axis=-1)
     labels = np.zeros(shape, np.int16)
-    labels[(tr < 36) & brain] = 2
-    labels[(tr < 24) & brain] = 1
-    labels[(tr < 12) & brain] = 4
+    labels[(tr < radii[0]) & brain] = 2
+    labels[(tr < radii[1]) & brain] = 1
+    labels[(tr < radii[2]) & brain] = 4
     mods = []
     for m in range(4):
         vol = np.zeros(shape, np.int16)
