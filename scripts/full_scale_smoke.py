@@ -41,10 +41,20 @@ def make_brain(rng, shape=(240, 240, 155), radii=(36, 24, 12)):
     labels[(tr < radii[1]) & brain] = 1
     labels[(tr < radii[2]) & brain] = 4
     mods = []
+    # per-class modality contrast, loosely mimicking BraTS (modalities are
+    # [flair, t1, t1ce, t2]): edema bright in FLAIR/T2, NCR dark in T1ce,
+    # ET enhancing in T1ce. Without class-dependent contrast (the pre-r5
+    # uniform +120+50m) the tumor sub-regions are indistinguishable by the
+    # quantile features and CT/ET Dice are unlearnable by construction.
+    offsets = {2: (200, 60, 40, 160),      # edema
+               1: (90, 40, -120, 70),      # NCR/NET
+               4: (110, 70, 260, 90)}      # ET
     for m in range(4):
         vol = np.zeros(shape, np.int16)
         vol[brain] = 300 + 60 * m + rng.integers(0, 80, int(brain.sum()))
-        vol[labels > 0] += 120 + 50 * m
+        for cls, off in offsets.items():
+            sel = labels == cls
+            vol[sel] += off[m] + rng.integers(-20, 21, int(sel.sum())).astype(np.int16)
         mods.append(vol)
     return mods, labels
 
