@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--gnn_args", type=str,
                     default="--hp layer_sizes=[256,256,256,256,256,256]",
                     help="extra train_gnn args (default: flagship 7x256)")
+    ap.add_argument("--cnn_args", type=str, default="",
+                    help="extra train_refinement_cnn args "
+                         "(e.g. '--hp n_epochs=10')")
     ap.add_argument("--radii", type=str, default="36,24,12",
                     help="edema,NCR/NET,ET synthetic tumor radii — use e.g. "
                          "44,32,20 for an ET-resolvable validation run "
@@ -86,7 +89,8 @@ def main():
             "PRED_OUTPUT_DIR": os.path.join(args.out, "preds"),
             "LOG_OUTPUT_DIR": os.path.join(args.out, "logs"),
             "MODEL_NAME": "e2e", "MODEL_TYPE": "GSpool",
-            "GNN_EXTRA_ARGS": args.gnn_args}
+            "GNN_EXTRA_ARGS": args.gnn_args,
+            "CNN_EXTRA_ARGS": args.cnn_args}
     t0 = time.perf_counter()
     proc_run = subprocess.Popen(
         ["bash", os.path.join(REPO, "scripts", "run_pipeline.sh")],
@@ -130,6 +134,7 @@ def main():
         "dice_wt_ct_et": [round(float(d), 4) for d in dice],
         "hd95_wt_ct_et": [round(float(h), 2) for h in hd],
         "gnn_args": args.gnn_args,
+        "cnn_args": args.cnn_args,
         "radii": list(radii),
     }
     print(json.dumps({
