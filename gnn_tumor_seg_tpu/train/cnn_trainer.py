@@ -134,6 +134,24 @@ class CNNTrainer:
         self.rng = np.random.default_rng(seed)
         self._step = self._build_step()
         self._forward = jax.jit(lambda p, x: self.net.apply(p, x))
+        # Device-resident prepared-sample cache. Each epoch re-decoded
+        # ~370 MB of gzipped NIfTI per brain (image + labels + logits) and
+        # re-uploaded the prepared crop through the relay — ~4 s/brain of
+        # host work for a 0.1-0.3 s device step. The prepared tensors are
+        # deterministic per mri_id for a trainer lifetime (fixed logit dir +
+        # crop floor) and only ~8-35 MB each once cropped, so epochs >1 hit
+        # HBM instead (x/labels/mask stay device-side; neither is donated by
+        # _step). Budget: GTS_CNN_PREP_CACHE_MB (MB of HBM), default 4096;
+        # 0 disables. Beyond-budget entries rebuild per epoch (LRU); at
+        # BraTS-2021 scale (1,251 brains x ~30 MB) the shuffled access
+        # pattern will mostly rebuild — the cache targets the common
+        # dataset-fits-in-budget case.
+        import os as _os
+
+        from ..data.cache import LRUBytesCache
+
+        mb = int(_os.environ.get("GTS_CNN_PREP_CACHE_MB", "4096"))
+        self._prep_cache = LRUBytesCache(mb << 20) if mb > 0 else None
 
     def _build_step(self):
         net, cw, tx = self.net, self.class_weights, self._tx
@@ -169,20 +187,29 @@ class CNNTrainer:
 
     # ------------------------------------------------------------------ epochs
     def _load_and_prepare(self, mri_id: str):
+        if self._prep_cache is not None:
+            hit = self._prep_cache.get(mri_id)
+            if hit is not None:
+                return hit
         img = self.image_dataset.get_image(mri_id)
         labels = self.image_dataset.get_voxel_labels(mri_id)
-        return self._prepare(mri_id, img, labels)
+        prep = self._prepare(mri_id, img, labels)
+        if self._prep_cache is not None and prep is not None:
+            self._prep_cache.put(mri_id, prep)
+        return prep
 
     def run_epoch(self) -> float:
         """One shuffled bs=1 pass (`model/cnn_model.py:36-56`).
 
-        The epoch is host-IO-bound (~2.3 s/brain of image+logit NIfTI decode
-        and crop prep vs 0.1-0.3 s device step, scripts/bench_cnn.py). The
-        device step already overlaps the NEXT sample's host prep via async
-        dispatch (losses are only device_get at epoch end), and an explicit
-        prefetch thread was tried and REVERTED: holding two samples'
-        ~70-150 MB buffers alive concurrently re-triggers this host class's
-        slow first-touch page faults and measured 1.5-3x SLOWER epochs
+        The FIRST epoch is host-IO-bound (~2.3 s/brain of image+logit NIfTI
+        decode and crop prep vs 0.1-0.3 s device step, scripts/bench_cnn.py).
+        Later epochs hit the device-resident prepared-sample cache (see
+        __init__) and skip the decode + upload entirely. The device step
+        already overlaps the NEXT sample's host prep via async dispatch
+        (losses are only device_get at epoch end), and an explicit prefetch
+        thread was tried and REVERTED: holding two samples' ~70-150 MB
+        buffers alive concurrently re-triggers this host class's slow
+        first-touch page faults and measured 1.5-3x SLOWER epochs
         (alternating A/B, round 4)."""
         assert self.image_dataset is not None and self.logit_dataset is not None
         ids = list(self.image_dataset.ids)

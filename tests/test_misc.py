@@ -45,6 +45,27 @@ def test_cnn_trainer_skips_missing_logits(tmp_path):
     assert np.isfinite(metrics).all()
 
 
+def test_cnn_prep_cache_matches_decode_path(tmp_path, monkeypatch):
+    """Epochs served from the device-resident prepared-sample cache must be
+    bit-identical to re-decoding from disk every epoch (and the cache must
+    actually be hit from epoch 2 on)."""
+    hp = HyperParams(n_epochs=1, in_feats=8, layer_sizes=[4], lr=1e-3,
+                     class_weights=[0.1, 5, 15, 15], batch_size=1)
+
+    def losses_with(cache_mb):
+        monkeypatch.setenv("GTS_CNN_PREP_CACHE_MB", cache_mb)
+        imgs = _TinyImages(tmp_path)
+        trainer = CNNTrainer(hp, imgs, PredLogitDataset(str(tmp_path)), seed=0)
+        out = [trainer.run_epoch() for _ in range(3)]
+        return trainer, out
+
+    t_off, off = losses_with("0")
+    t_on, on = losses_with("64")
+    assert t_off._prep_cache is None
+    assert t_on._prep_cache is not None and len(t_on._prep_cache) == 1
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(on))
+
+
 def test_pad_to_bucket_replicates_edges():
     vol = np.arange(5 * 6 * 7 * 2, dtype=np.float32).reshape(5, 6, 7, 2)
     padded, mask = pad_to_bucket(vol, bucket=8)
