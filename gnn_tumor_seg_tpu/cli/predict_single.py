@@ -173,7 +173,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from ..ops.pallas.precision import set_precision_mode
-    from ..runtime import enable_host_alloc_reuse
+    from ..runtime import enable_compilation_cache, enable_host_alloc_reuse
+
+    # without this the warmup-baked persistent cache is never READ at serve
+    # time and the cold path re-pays every compile (incl. the conv autotune)
+    enable_compilation_cache()
 
     # serve chains several ~100 MB host temporaries per MRI; arena reuse
     # avoids re-paying ~10 MB/s first-touch faults on every request

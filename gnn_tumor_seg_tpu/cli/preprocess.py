@@ -56,7 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from ..runtime import enable_compilation_cache
     from .common import resolve_slic_fn
+
+    enable_compilation_cache()   # TPU-SLIC/device-prep paths compile programs
 
     prep_impl = args.prep_impl
     if prep_impl == "auto":

@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from ..runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args.data_dir = os.path.expanduser(args.data_dir)
     args.output_dir = os.path.expanduser(args.output_dir)
     os.makedirs(args.output_dir, exist_ok=True)

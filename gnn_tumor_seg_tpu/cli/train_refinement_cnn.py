@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from ..runtime import enable_compilation_cache
+
+    # the conv train-step autotune costs 80-300 s through the relay; without
+    # the persistent cache EVERY process (this CLI, not just train_gnn) pays
+    # it from scratch — 208 s of the 501 s e2e CNN stage was exactly this
+    enable_compilation_cache()
     image_dataset = ImageGraphDataset(os.path.expanduser(args.data_dir),
                                       args.data_prefix, read_image=True,
                                       read_graph=False, read_label=True)
